@@ -1,0 +1,155 @@
+"""Scheduler numerics: closed-form identities + golden values.
+
+The reference relies on diffusers' DDPMScheduler (train_diffute_v1.py:628);
+these tests pin our pure-JAX reimplementation to the same math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffute_tpu.config import SchedulerConfig
+from diffute_tpu.diffusion import (
+    add_noise,
+    ddim_step,
+    ddim_timesteps,
+    ddpm_step,
+    ddpm_timesteps,
+    get_velocity,
+    make_schedule,
+    training_target,
+)
+
+
+@pytest.fixture(scope="module")
+def sched():
+    return make_schedule(SchedulerConfig())
+
+
+def test_scaled_linear_betas_golden(sched):
+    # Endpoint values of the SD scaled_linear schedule.
+    np.testing.assert_allclose(float(sched.betas[0]), 0.00085, rtol=1e-6)
+    np.testing.assert_allclose(float(sched.betas[-1]), 0.012, rtol=1e-6)
+    # alphas_cumprod is monotonically decreasing in (0, 1].
+    ac = np.asarray(sched.alphas_cumprod)
+    assert np.all(np.diff(ac) < 0)
+    assert 0 < ac[-1] < ac[0] < 1
+    # Golden: known SD2 alphas_cumprod endpoints (computed independently).
+    betas = np.linspace(0.00085**0.5, 0.012**0.5, 1000) ** 2
+    ref_ac = np.cumprod(1 - betas)
+    np.testing.assert_allclose(ac, ref_ac, rtol=1e-5)
+
+
+def test_add_noise_closed_form(sched):
+    x0 = jnp.ones((2, 4, 8, 8))
+    noise = jnp.full((2, 4, 8, 8), 2.0)
+    t = jnp.array([0, 999])
+    out = add_noise(sched, x0, noise, t)
+    ac = np.asarray(sched.alphas_cumprod)
+    for b, ti in enumerate([0, 999]):
+        expect = np.sqrt(ac[ti]) * 1.0 + np.sqrt(1 - ac[ti]) * 2.0
+        np.testing.assert_allclose(np.asarray(out[b]), expect, rtol=1e-5)
+
+
+def test_velocity_inverts(sched):
+    # v-pred: given v and x_t one can recover x0; check algebraic consistency:
+    # x0 = sqrt(a)*x_t - sqrt(1-a)*v  where x_t = add_noise(x0, eps, t).
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (2, 4, 4, 4))
+    eps = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 4))
+    t = jnp.array([100, 700])
+    xt = add_noise(sched, x0, eps, t)
+    v = get_velocity(sched, x0, eps, t)
+    ac = jnp.take(sched.alphas_cumprod, t).reshape(-1, 1, 1, 1)
+    x0_rec = jnp.sqrt(ac) * xt - jnp.sqrt(1 - ac) * v
+    np.testing.assert_allclose(np.asarray(x0_rec), np.asarray(x0), atol=1e-5)
+
+
+def test_training_target_epsilon(sched):
+    x0 = jnp.zeros((1, 2, 2, 2))
+    eps = jnp.ones((1, 2, 2, 2))
+    t = jnp.array([10])
+    assert np.allclose(training_target(sched, x0, eps, t), eps)
+
+
+def test_ddpm_timesteps_spacing(sched):
+    ts = ddpm_timesteps(sched, 50)
+    assert ts.shape == (50,)
+    assert ts[0] == 980 and ts[-1] == 0
+    assert np.all(np.diff(ts) == -20)
+    ts150 = ddpm_timesteps(sched, 150)
+    assert ts150[0] == 894 and ts150[-1] == 0  # 149 * (1000//150=6)
+
+
+def test_ddim_timesteps_offset(sched):
+    ts = ddim_timesteps(sched, 50)
+    assert ts[0] == 981 and ts[-1] == 1  # leading spacing + steps_offset 1
+    assert len(ts) == 50
+
+
+def test_ddpm_step_deterministic_mean_at_t0(sched):
+    # At the last step (prev_t < 0) no noise is added; with epsilon
+    # prediction = true noise, the step should recover x0 exactly.
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (1, 4, 8, 8))
+    eps = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 8, 8))
+    t = jnp.array(0)
+    xt = add_noise(sched, x0, eps, t)
+    out = ddpm_step(sched, eps, t, xt, jax.random.PRNGKey(2), num_inference_steps=50)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-4)
+
+
+def test_ddim_step_perfect_denoise(sched):
+    # With a perfect epsilon prediction, iterating DDIM from x_T with the
+    # *same* eps recovers x0 at the end (closed-form property of DDIM).
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8))
+    eps = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 8, 8))
+    ts = ddim_timesteps(sched, 10)
+    sample = add_noise(sched, x0, eps, jnp.array(int(ts[0])))
+    for i, t in enumerate(ts):
+        prev_t = ts[i + 1] if i + 1 < len(ts) else -1
+        sample = ddim_step(sched, eps, jnp.array(int(t)), jnp.array(int(prev_t)), sample)
+    # Closed form: each exact-eps DDIM step maps add_noise(x0,eps,t) to
+    # add_noise(x0,eps,prev_t); the last step lands on final_alpha_cumprod.
+    ac0 = float(sched.alphas_cumprod[0])
+    expect = np.sqrt(ac0) * np.asarray(x0) + np.sqrt(1 - ac0) * np.asarray(eps)
+    np.testing.assert_allclose(np.asarray(sample), expect, atol=1e-4)
+
+
+def test_ddpm_step_in_scan(sched):
+    # The whole sampler must trace into lax.scan (north star: no host
+    # round-trips inside the denoise loop).
+    ts = jnp.asarray(ddpm_timesteps(sched, 10))
+    sample0 = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8))
+
+    @jax.jit
+    def run(sample):
+        def body(carry, t):
+            s, key = carry
+            key, sub = jax.random.split(key)
+            model_out = s * 0.1  # stand-in network
+            s = ddpm_step(sched, model_out, t, s, sub, num_inference_steps=10)
+            return (s, key), None
+
+        (s, _), _ = jax.lax.scan(body, (sample, jax.random.PRNGKey(1)), ts)
+        return s
+
+    out = run(sample0)
+    assert out.shape == sample0.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_v_prediction_roundtrip():
+    sched_v = make_schedule(SchedulerConfig(prediction_type="v_prediction"))
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8))
+    eps = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 8, 8))
+    t = jnp.array(500)
+    xt = add_noise(sched_v, x0, eps, t)
+    v = get_velocity(sched_v, x0, eps, t)
+    # ddim_step with the true v recovers x0 exactly (then re-noises to the
+    # final_alpha_cumprod boundary).
+    out = ddim_step(sched_v, v, t, jnp.array(-1), xt)
+    ac0 = float(sched_v.alphas_cumprod[0])
+    expect = np.sqrt(ac0) * np.asarray(x0) + np.sqrt(1 - ac0) * np.asarray(eps)
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-4)
