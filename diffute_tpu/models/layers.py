@@ -1,0 +1,122 @@
+"""Shared building blocks for the VAE and UNet (Flax, NHWC).
+
+TPU-first design notes:
+- All convolutions run in NHWC/HWIO — the layout XLA:TPU tiles best; the
+  reference's torch stack is NCHW (weight import transposes, see
+  diffute_tpu.compat.hf_import).
+- Submodule names intentionally mirror diffusers' module paths
+  (norm1/conv1/time_emb_proj/...) so HF checkpoint import is a mechanical
+  rename, keeping loader compatibility with the checkpoints the reference
+  trains (train_diffute_v1.py:628-635).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def timestep_embedding(
+    timesteps: jax.Array,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jax.Array:
+    """Sinusoidal timestep embeddings (SD convention).
+
+    Equivalent of the `Timesteps` projection feeding the UNet's time MLP
+    (the reference gets this inside diffusers' UNet2DConditionModel forward,
+    train_diffute_v1.py:913).
+    """
+    timesteps = jnp.atleast_1d(timesteps)
+    half = dim // 2
+    exponent = -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    emb = timesteps.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    if flip_sin_to_cos:
+        out = jnp.concatenate([cos, sin], axis=-1)
+    else:
+        out = jnp.concatenate([sin, cos], axis=-1)
+    if dim % 2 == 1:
+        out = jnp.pad(out, ((0, 0), (0, 1)))
+    return out
+
+
+class TimestepEmbedding(nn.Module):
+    """Two-layer SiLU MLP over the sinusoidal embedding."""
+
+    time_embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample: jax.Array) -> jax.Array:
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(sample)
+        x = nn.silu(x)
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+class ResnetBlock2D(nn.Module):
+    """GroupNorm -> SiLU -> Conv ×2 with optional time-embedding injection."""
+
+    out_channels: int
+    use_time_emb: bool = True
+    groups: int = 32
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
+        in_channels = x.shape[-1]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv1")(h)
+        if self.use_time_emb:
+            assert temb is not None
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(temb)
+            )
+            h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    """Stride-2 3x3 conv with asymmetric (0,1) padding (SD convention)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding="VALID",
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    """Nearest ×2 upsample + 3x3 conv (SD convention)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                       dtype=self.dtype, name="conv")(x)

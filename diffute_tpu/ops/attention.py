@@ -1,0 +1,57 @@
+"""Attention compute op with selectable backend.
+
+This is the single entry point every model (UNet self/cross attention, VAE
+mid-block attention, TrOCR ViT attention) routes through, replacing the
+reference's optional xformers swap (reference train_diffute_v1.py:648-659)
+with the TPU analogue: an XLA fused-softmax baseline and a Pallas
+flash-attention kernel (``diffute_tpu.ops.flash_attention``).
+
+Layout: ``(batch, seq, heads, head_dim)`` throughout — the natural layout for
+both XLA batched matmul and the Pallas kernel (heads map to the grid, seq ×
+head_dim tiles map to the MXU).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float
+) -> jax.Array:
+    # (B, S, H, D) x (B, T, H, D) -> (B, H, S, T)
+    logits = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhst,bthd->bshd", weights, v)
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    use_flash: bool = False,
+) -> jax.Array:
+    """Scaled dot-product attention.
+
+    Args:
+      q: (batch, q_len, num_heads, head_dim)
+      k/v: (batch, kv_len, num_heads, head_dim)
+      scale: logit scale; defaults to 1/sqrt(head_dim).
+      use_flash: route to the Pallas TPU flash-attention kernel.
+
+    Returns:
+      (batch, q_len, num_heads, head_dim)
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if use_flash:
+        from diffute_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, scale)
