@@ -1,0 +1,99 @@
+"""Benchmark: 50-step 512x512 text-edit throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is computed
+against an A100-class estimate for the same workload on the reference's
+diffusers/torch stack (~0.55 img/s for 50 UNet steps + VAE decode at 512^2,
+fp16) — the BASELINE.json north star is ">= A100-class images/sec/chip".
+
+Flags: --steps N --res N --batch N --dtype {bf16,fp32} --sampler {ddim,ddpm}
+       --tiny (smoke mode) --warmup N --iters N
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# A100 reference-stack estimate (img/s) for 50-step 512^2 single-region edit.
+A100_BASELINE_IMG_PER_S = 0.55
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--res", type=int, default=512)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--sampler", default="ddim", choices=["ddim", "ddpm"])
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--warmup", type=int, default=1)
+    p.add_argument("--iters", type=int, default=3)
+    args = p.parse_args()
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    from diffute_tpu.config import (
+        DiffUTEConfig, EditConfig, TrOCRConfig, UNetConfig, VAEConfig,
+        tiny_test_config,
+    )
+    from diffute_tpu.pipeline import DiffUTEPipeline
+    from diffute_tpu.utils import init_pipeline_params
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    if args.tiny:
+        cfg = tiny_test_config()
+    else:
+        cfg = DiffUTEConfig(
+            vae=VAEConfig(dtype=dtype),
+            unet=UNetConfig(dtype=dtype),
+            trocr=TrOCRConfig(dtype=dtype),
+            edit=EditConfig(resolution=args.res, sampler=args.sampler,
+                            num_inference_steps=args.steps),
+        )
+    cfg = dataclasses.replace(
+        cfg, edit=dataclasses.replace(cfg.edit, resolution=args.res
+                                      if not args.tiny else cfg.edit.resolution,
+                                      sampler=args.sampler,
+                                      num_inference_steps=args.steps))
+
+    params = init_pipeline_params(cfg)
+    jax.block_until_ready(params)
+    pipe = DiffUTEPipeline(cfg, params)
+
+    res = cfg.edit.resolution
+    h, w = int(res * 1.5), int(res * 2)
+    img = np.random.RandomState(0).randint(0, 255, (h, w, 3), np.uint8)
+    bw, bh = res // 4, res // 12
+    box = (w // 3, h // 3, w // 3 + bw, h // 3 + bh)
+
+    for i in range(args.warmup):
+        pipe.edit(img, box, "BENCHMARK", num_inference_steps=args.steps)
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        pipe.edit(img, box, f"BENCH {i}", num_inference_steps=args.steps)
+    dt = (time.perf_counter() - t0) / args.iters
+
+    value = args.batch / dt
+    out = {
+        "metric": f"images/sec/chip ({args.steps}-step {res}x{res} "
+                  f"{args.sampler} edit, {args.dtype})",
+        "value": round(value, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / A100_BASELINE_IMG_PER_S, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

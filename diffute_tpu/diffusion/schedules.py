@@ -208,14 +208,16 @@ def ddpm_step(
     model_output: jax.Array,
     t: jax.Array,
     sample: jax.Array,
-    key: jax.Array,
+    noise: jax.Array,
     num_inference_steps: int,
 ) -> jax.Array:
     """One ancestral DDPM reverse step x_t -> x_{t-k}.
 
     Functional equivalent of ``DDPMScheduler.step(...).prev_sample``
-    (app.ipynb:816) with variance_type fixed_small.  ``key`` supplies the
-    ancestral noise; noise is only added when the *previous* timestep is >= 0.
+    (app.ipynb:816) with variance_type fixed_small.  ``noise`` supplies the
+    ancestral standard normal (generate it OUTSIDE any scan body — in-body
+    threefry alongside a large network slows XLA compile pathologically);
+    it is only applied when the *previous* timestep is >= 0.
     """
     T = schedule.num_train_timesteps
     prev_t = t - T // num_inference_steps
@@ -240,8 +242,7 @@ def ddpm_step(
 
     # fixed_small variance, clamped for numerical safety like diffusers.
     variance = jnp.clip(beta_prod_prev / beta_prod_t * current_beta, 1e-20)
-    noise = jax.random.normal(key, sample.shape, dtype=sample.dtype)
-    add = jnp.where(prev_t >= 0, jnp.sqrt(variance) * noise, jnp.zeros_like(noise))
+    add = jnp.where(prev_t >= 0, jnp.sqrt(variance) * noise, jnp.zeros_like(sample))
     return prev_mean + add
 
 

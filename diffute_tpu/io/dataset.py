@@ -1,0 +1,237 @@
+"""Training datasets: manifest-compatible with the reference, plus synthetic.
+
+``UNetManifestDataset`` reproduces the *intended* semantics of the
+reference's ``OursDataset.__getitem__`` (train_diffute_v1.py:399-519), whose
+published form contains undefined-variable bugs (``i`` at :438,
+``temp_ocr_path`` at :442 — SURVEY.md §0.7).  Manifest format is drop-in
+compatible: a CSV with ``image_path`` / ``ocr_path`` columns (:426-430) and
+OCR JSON files shaped ``{"document": [{"text", "box": [[x,y]x4], "score"}]}``
+(:445-453), filtered at score > 0.8 (:446), one region sampled per image.
+
+``VAEManifestDataset`` reproduces train_vae.py:369-418: CSV with ``path``
+column, upscale short-side < 512 by int(1024/short), random 512^2 crop.
+
+``SyntheticSceneDataset`` generates procedural document-like images with
+rendered text so trainers/benches run without any external data.
+
+All datasets yield numpy dicts; batching helpers stack to the layouts the
+jit'd train steps expect.  Decode/augment is host CPU (the reference used
+torch DataLoader workers, :757-763); heavy lifting is already in cv2/PIL C
+code, and a thread-pool prefetcher overlaps it with device steps.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import cv2
+import numpy as np
+
+from diffute_tpu.config import DiffUTEConfig, GlyphConfig
+from diffute_tpu.pipeline.crop import train_crop
+from diffute_tpu.pipeline.regions import (
+    generate_mask,
+    make_masked_image,
+    process_location,
+)
+from diffute_tpu.text import render_glyph, trocr_preprocess_host
+from diffute_tpu.io.storage import open_blob, read_image
+
+
+def _resize512(img: np.ndarray, res: int) -> np.ndarray:
+    return cv2.resize(img, (res, res), interpolation=cv2.INTER_LINEAR)
+
+
+def _normalize(img_u8: np.ndarray) -> np.ndarray:
+    return (img_u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+
+
+class UNetManifestDataset:
+    """Stage-2 example generator (one OCR region per image per epoch pass)."""
+
+    def __init__(self, manifest_csv: str, config: DiffUTEConfig,
+                 seed: int = 0, bgr: bool = False):
+        import pandas as pd
+
+        df = pd.read_csv(manifest_csv, low_memory=False)
+        self.image_paths: List[str] = df["image_path"].tolist()
+        self.ocr_paths: List[str] = df["ocr_path"].tolist()
+        self.config = config
+        self.rng = np.random.default_rng(seed)
+        self.bgr = bgr
+
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        cfg = self.config
+        image = read_image(self.image_paths[index], bgr=self.bgr)
+        with open_blob(self.ocr_paths[index]) as f:
+            ocr = json.loads(f.read())
+        regions = [r for r in ocr["document"]
+                   if r.get("score", 1.0) > cfg.train.ocr_score_threshold]
+        if not regions:
+            raise ValueError(f"No OCR region above threshold: {self.ocr_paths[index]}")
+        region = regions[int(self.rng.integers(len(regions)))]
+        text = region["text"]
+        quad = np.asarray(region["box"], dtype=np.float32)
+        box = np.int32([quad[:, 0].min(), quad[:, 1].min(),
+                        quad[:, 0].max(), quad[:, 1].max()])
+        h, w = image.shape[:2]
+        box = process_location(box, (h, w))
+
+        mask = generate_mask((h, w), box)
+        masked = make_masked_image(image, mask)
+        crop = train_crop(image, mask, masked, box, text, self.rng,
+                          crop_scale=cfg.edit.train_crop_scale)
+
+        res = cfg.edit.resolution
+        return {
+            "pixel_values": _normalize(_resize512(crop.image, res)),
+            "masks": _resize512(crop.mask, res).astype(np.float32),
+            "masked_images": _normalize(_resize512(crop.masked_image, res)),
+            "glyph_image": render_glyph(crop.text, cfg.glyph),
+        }
+
+
+class VAEManifestDataset:
+    """Stage-1 example generator (random 512^2 document crops)."""
+
+    def __init__(self, manifest_csv: str, config: DiffUTEConfig,
+                 seed: int = 0, bgr: bool = False, path_column: str = "path"):
+        import pandas as pd
+
+        df = pd.read_csv(manifest_csv, low_memory=False)
+        self.paths: List[str] = df[path_column].tolist()
+        self.config = config
+        self.rng = np.random.default_rng(seed)
+        self.bgr = bgr
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        res = self.config.edit.resolution
+        image = read_image(self.paths[index], bgr=self.bgr)
+        h, w = image.shape[:2]
+        short = min(h, w)
+        if short < res:
+            # reference: int(1024/short) upscale (train_vae.py:399-403)
+            scale = int(res * 2 / short)
+            image = cv2.resize(image, (w * scale, h * scale))
+            h, w = image.shape[:2]
+        y = int(self.rng.integers(0, h - res + 1))
+        x = int(self.rng.integers(0, w - res + 1))
+        crop = image[y : y + res, x : x + res]
+        return {"pixel_values": _normalize(crop)}
+
+
+class SyntheticSceneDataset:
+    """Procedural text-on-background images + OCR boxes (no external data).
+
+    Used by smoke training, benchmarks, and tests.
+    """
+
+    _WORDS = ("INVOICE", "TOTAL", "2023-08-16", "Amount", "Reference",
+              "DiffUTE", "TPU", "hello world", "42.00", "Document")
+
+    def __init__(self, config: DiffUTEConfig, image_hw=(384, 512), seed: int = 0):
+        self.config = config
+        self.image_hw = image_hw
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return 1 << 30
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        cfg = self.config
+        h, w = self.image_hw
+        rng = np.random.default_rng(index)
+        image = np.full((h, w, 3), int(rng.integers(180, 255)), np.uint8)
+        # paste a rendered word at a random position
+        text = self._WORDS[int(rng.integers(len(self._WORDS)))]
+        glyph = render_glyph(text, cfg.glyph)
+        gh, gw = glyph.shape[:2]
+        scale = min(1.0, (w * 0.6) / gw)
+        gw2, gh2 = max(8, int(gw * scale)), max(8, int(gh * scale))
+        glyph_s = cv2.resize(glyph, (gw2, gh2))
+        y = int(rng.integers(0, h - gh2))
+        x = int(rng.integers(0, w - gw2))
+        region = image[y : y + gh2, x : x + gw2]
+        image[y : y + gh2, x : x + gw2] = np.minimum(region, glyph_s)
+        box = np.int32([x, y, x + gw2, y + gh2])
+        box = process_location(box, (h, w))
+
+        mask = generate_mask((h, w), box)
+        masked = make_masked_image(image, mask)
+        crop = train_crop(image, mask, masked, box, text, rng,
+                          crop_scale=cfg.edit.train_crop_scale)
+        res = cfg.edit.resolution
+        return {
+            "pixel_values": _normalize(_resize512(crop.image, res)),
+            "masks": _resize512(crop.mask, res).astype(np.float32),
+            "masked_images": _normalize(_resize512(crop.masked_image, res)),
+            "glyph_image": glyph,
+        }
+
+
+def make_unet_batch(examples: List[Dict[str, np.ndarray]],
+                    config: DiffUTEConfig) -> Dict[str, np.ndarray]:
+    """Stack examples -> the train-step batch layout.  Variable-width glyph
+    renders go through TrOCR preprocessing here (the reference keeps them as
+    a list until the processor call, train_diffute_v1.py:729-746,868)."""
+    return {
+        "pixel_values": np.stack([e["pixel_values"] for e in examples]),
+        "masks": np.stack([e["masks"] for e in examples]),
+        "masked_images": np.stack([e["masked_images"] for e in examples]),
+        "glyph_pixels": trocr_preprocess_host(
+            [e["glyph_image"] for e in examples], config.trocr),
+    }
+
+
+def make_vae_batch(examples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {"pixel_values": np.stack([e["pixel_values"] for e in examples])}
+
+
+class PrefetchLoader:
+    """Thread-pool batch producer overlapping host decode with device steps."""
+
+    def __init__(self, dataset, batch_size: int, collate, num_threads: int = 4,
+                 prefetch: int = 4, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate = collate
+        self.num_threads = max(1, num_threads)
+        self.prefetch = prefetch
+        self.seed = seed
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        rng = np.random.default_rng(self.seed)
+        n = len(self.dataset)
+        indices = iter(lambda: int(rng.integers(n)), None)
+        lock = threading.Lock()
+
+        def worker():
+            while not stop.is_set():
+                with lock:
+                    idx = [next(indices) for _ in range(self.batch_size)]
+                try:
+                    batch = self.collate([self.dataset[i] for i in idx])
+                except Exception:  # skip-on-decode-error (SURVEY.md §5.3)
+                    continue
+                q.put(batch)
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_threads)]
+        for t in threads:
+            t.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()

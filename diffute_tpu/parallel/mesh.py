@@ -1,0 +1,55 @@
+"""Device mesh + sharding helpers (data-parallel, the reference's topology).
+
+The reference distributes with HF Accelerate/DDP over NCCL
+(train_diffute_v1.py:581-587,780-782): parameters replicated, batch split,
+gradients all-reduced.  The TPU-native equivalent needs no comm code at all:
+a 1-D ``Mesh(('data',))``, batch arrays sharded on axis 0, parameters
+replicated — XLA inserts the gradient psum over ICI from the sharding specs
+(SURVEY.md §2d).  Multi-host pods extend the same mesh via
+``jax.distributed.initialize`` (call :func:`maybe_init_distributed` first).
+
+The extra mesh axes for tp/pp are deliberately absent: the UNet (~866M
+params) fits comfortably on one chip; scaling is by data (SURVEY.md §2c).
+Optimizer-state sharding over the data axis (ZeRO-1) is available via
+``shard_optimizer_states`` in TrainConfig.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_init_distributed() -> None:
+    """Initialize multi-host JAX when launched under a pod launcher."""
+    if os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def make_mesh(dp_size: int = -1, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if dp_size == -1:
+        dp_size = len(devices)
+    if dp_size > len(devices):
+        raise ValueError(f"dp_size {dp_size} > available devices {len(devices)}")
+    return Mesh(np.asarray(devices[:dp_size]), axis_names=("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any, batch_axis: int = 0) -> Any:
+    """Place a host-global batch pytree onto the mesh, sharded along
+    ``batch_axis`` (axis 1 for (accum, micro, ...) layouts)."""
+    spec = P(*((None,) * batch_axis + ("data",)))
+    sh = NamedSharding(mesh, spec)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

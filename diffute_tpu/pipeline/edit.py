@@ -1,0 +1,299 @@
+"""DiffUTEPipeline — end-to-end text editing, jit-compiled on device.
+
+Functional equivalent of the reference's ``text_editing`` (app.ipynb:653-854)
+with a TPU-first execution split:
+
+host (numpy/PIL/cv2):  box extension, mask raster, crop-window selection,
+                       glyph raster, 512^2 / 384^2 resizes, paste-back —
+                       cheap uint8 ops on small buffers;
+device (ONE jit program): normalize -> TrOCR encode -> VAE encodes -> full
+                       denoise loop as ``lax.scan`` -> VAE decode -> uint8.
+
+The reference re-enters Python every denoising step (app.ipynb:806-816,
+one CUDA launch sequence per iteration); here the entire sampler runs inside
+a single XLA executable per (steps, sampler, flags) signature — no host
+round-trips (BASELINE.json north star).
+
+Reference-parity mode (defaults): no classifier-free guidance (the reference
+defines --guidance_scale but never applies it, train_diffute_v1.py:915-917),
+no masked-latent blending (the inpaint constraint rides the 9-channel input
+only).  Both are available opt-in via EditConfig — CFG conditions on the
+empty-string glyph as the null embedding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffute_tpu.config import DiffUTEConfig, EditConfig
+from diffute_tpu.diffusion import (
+    add_noise,
+    ddim_step,
+    ddim_timesteps,
+    ddpm_step,
+    ddpm_timesteps,
+    make_schedule,
+)
+from diffute_tpu.models import AutoencoderKL, TrOCREncoder, UNet2DCondition
+from diffute_tpu.models.vae import sample_latent
+from diffute_tpu.pipeline.crop import infer_crop_params, paste_back
+from diffute_tpu.pipeline.regions import (
+    generate_mask,
+    make_masked_image,
+    process_location,
+)
+from diffute_tpu.text import render_glyph, trocr_normalize, trocr_preprocess_host
+
+
+def normalize_image(x_uint8: jax.Array) -> jax.Array:
+    """uint8 [0,255] -> float [-1,1] (albumentations Normalize(0.5, 0.5),
+    reference train_diffute_v1.py:336-340)."""
+    return (x_uint8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+
+
+class DiffUTEPipeline:
+    """Holds frozen model params and compiles the device edit program.
+
+    Params is a dict with keys ``vae``, ``unet``, ``trocr`` (each a flax
+    params tree, importable from HF checkpoints via diffute_tpu.compat).
+    """
+
+    def __init__(self, config: DiffUTEConfig, params: Dict[str, dict]):
+        self.config = config
+        self.vae = AutoencoderKL(config.vae)
+        self.unet = UNet2DCondition(config.unet)
+        self.trocr = TrOCREncoder(config.trocr)
+        self.schedule = make_schedule(config.scheduler)
+        self.params = params
+        self._compiled = {}
+
+    # ------------------------------------------------------------------
+    # Device programs
+    #
+    # The device work is split into THREE jit stages — prep (TrOCR + VAE
+    # encodes), the denoise loop (one lax.scan module: still zero host
+    # round-trips between steps), and decode.  A single fused module is
+    # functionally identical but triggers superlinear XLA compile times
+    # (~40s on CPU, 80-400s via the axon remote-compile service, vs a few
+    # seconds per stage); the stage boundaries carry only KB-sized latents,
+    # so the split costs ~nothing at runtime and recompiling for a new step
+    # count rebuilds only the loop module.
+    # ------------------------------------------------------------------
+
+    def _device_prep(
+        self,
+        blend: bool,
+        use_cfg: bool,
+        params: Dict[str, dict],
+        crop_u8: jax.Array,      # (B, R, R, 3) uint8 (used only when blend)
+        mask_u8: jax.Array,      # (B, R, R) uint8 {0,1}
+        masked_u8: jax.Array,    # (B, R, R, 3) uint8
+        glyph_u8: jax.Array,     # (B, 384, 384, 3) uint8
+        null_glyph_u8: jax.Array,  # (1, 384, 384, 3) uint8 (CFG only)
+        key: jax.Array,
+    ):
+        cfg = self.config
+        sf = cfg.vae.scaling_factor
+        f = cfg.vae.scale_factor
+        B, R = mask_u8.shape[0], mask_u8.shape[1]
+        r = R // f
+
+        k_init, k_mask_lat, k_crop_lat = jax.random.split(key, 3)
+
+        # Conditioning: TrOCR encode of the glyph render (reference
+        # train_diffute_v1.py:868-871).
+        ctx = self.trocr.apply({"params": params["trocr"]},
+                               trocr_normalize(glyph_u8))
+        null_ctx = jnp.zeros_like(ctx)
+        if use_cfg:
+            null_ctx = jnp.broadcast_to(
+                self.trocr.apply({"params": params["trocr"]},
+                                 trocr_normalize(null_glyph_u8)), ctx.shape)
+
+        # Mask to latent resolution — F.interpolate default is nearest
+        # (reference train_diffute_v1.py:881-883, app.ipynb:787-790).
+        mask_lat = jax.image.resize(
+            mask_u8.astype(jnp.float32), (B, r, r), method="nearest"
+        )[..., None]
+
+        # Masked-image latents (sampled, like latent_dist.sample(); reference
+        # app.ipynb:793-794).
+        mean, logvar = self.vae.apply({"params": params["vae"]},
+                                      normalize_image(masked_u8),
+                                      method=self.vae.encode)
+        masked_latents = sample_latent(mean, logvar, k_mask_lat) * sf
+
+        crop_latents = jnp.zeros_like(masked_latents)
+        if blend:
+            cmean, clogvar = self.vae.apply({"params": params["vae"]},
+                                            normalize_image(crop_u8),
+                                            method=self.vae.encode)
+            crop_latents = sample_latent(cmean, clogvar, k_crop_lat) * sf
+
+        # Initial noise (reference seeds torch.manual_seed(0) and scales by
+        # init_noise_sigma=1, app.ipynb:796-801).
+        latents = jax.random.normal(k_init, (B, r, r, cfg.vae.latent_channels),
+                                    jnp.float32)
+        return ctx, null_ctx, mask_lat, masked_latents, crop_latents, latents
+
+    def _device_loop(
+        self,
+        num_steps: int,
+        sampler: str,
+        guidance_scale: float,
+        blend: bool,
+        unet_params,
+        ctx, null_ctx, mask_lat, masked_latents, crop_latents, latents,
+        key: jax.Array,
+    ) -> jax.Array:
+        use_cfg = guidance_scale > 1.0
+        if sampler == "ddpm":
+            ts = ddpm_timesteps(self.schedule, num_steps)
+        else:
+            ts = ddim_timesteps(self.schedule, num_steps)
+        ts_arr = jnp.asarray(ts)
+        prev_arr = jnp.concatenate([ts_arr[1:], jnp.array([-1], jnp.int32)])
+
+        # All RNG happens OUTSIDE the loop and streams in as scan xs:
+        # threefry keygen inside a scan body that also contains the UNet
+        # triggers pathological XLA compile times (200s+ observed on TPU vs
+        # <15s without in-body RNG) and is pure overhead per step.
+        k_blend, k_steps = jax.random.split(key)
+        if sampler == "ddpm":
+            step_noise = jax.random.normal(
+                k_steps, (num_steps,) + latents.shape, latents.dtype)
+        else:
+            step_noise = jnp.zeros((num_steps,) + (1,) * latents.ndim,
+                                   latents.dtype)  # unused by ddim
+        blend_noise = (jax.random.normal(k_blend, latents.shape, latents.dtype)
+                       if blend else jnp.zeros((1,) * latents.ndim, latents.dtype))
+
+        def unet_eps(latents, t, step_ctx):
+            x_in = jnp.concatenate([latents, mask_lat, masked_latents], axis=-1)
+            return self.unet.apply({"params": unet_params}, x_in, t, step_ctx)
+
+        def body(latents, scan_x):
+            t, prev_t, noise_t = scan_x
+            if use_cfg:
+                eps_c = unet_eps(latents, t, ctx)
+                eps_u = unet_eps(latents, t, null_ctx)
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+            else:
+                eps = unet_eps(latents, t, ctx)
+            if sampler == "ddpm":
+                latents = ddpm_step(self.schedule, eps, t, latents, noise_t,
+                                    num_inference_steps=num_steps)
+            else:
+                latents = ddim_step(self.schedule, eps, t, prev_t, latents)
+            if blend:
+                noised = jnp.where(
+                    prev_t >= 0,
+                    add_noise(self.schedule, crop_latents, blend_noise,
+                              jnp.clip(prev_t, 0)),
+                    crop_latents,
+                )
+                latents = mask_lat * latents + (1.0 - mask_lat) * noised
+            return latents, None
+
+        latents, _ = jax.lax.scan(body, latents, (ts_arr, prev_arr, step_noise))
+        return latents
+
+    def _device_decode(self, vae_params, latents: jax.Array) -> jax.Array:
+        # Decode and convert to uint8 (reference app.ipynb:818-824).
+        sf = self.config.vae.scaling_factor
+        image = self.vae.apply({"params": vae_params}, latents / sf,
+                               method=self.vae.decode)
+        image = (image / 2 + 0.5) * 255.0
+        return jnp.clip(jnp.round(image), 0, 255).astype(jnp.uint8)
+
+    def _get_compiled(self, num_steps: int, sampler: str,
+                      guidance_scale: float, blend: bool):
+        """Compile (or fetch) the staged programs for this signature; returns
+        a callable with the original single-program interface."""
+        use_cfg = guidance_scale > 1.0
+        sig = (num_steps, sampler, guidance_scale, blend)
+        if sig not in self._compiled:
+            prep = jax.jit(functools.partial(self._device_prep, blend, use_cfg))
+            loop = jax.jit(functools.partial(
+                self._device_loop, num_steps, sampler, guidance_scale, blend))
+            decode = jax.jit(self._device_decode)
+
+            def run(params, crop_u8, mask_u8, masked_u8, glyph_u8,
+                    null_glyph_u8, key):
+                k_prep, k_loop = jax.random.split(key)
+                prepped = prep(params, crop_u8, mask_u8, masked_u8, glyph_u8,
+                               null_glyph_u8, k_prep)
+                latents = loop(params["unet"], *prepped, k_loop)
+                return decode(params["vae"], latents)
+
+            self._compiled[sig] = run
+        return self._compiled[sig]
+
+    # ------------------------------------------------------------------
+    # Public API
+    # ------------------------------------------------------------------
+
+    def edit(
+        self,
+        image: np.ndarray,            # uint8 HWC RGB
+        box: Tuple[int, int, int, int],
+        text: str,
+        num_inference_steps: Optional[int] = None,
+        seed: Optional[int] = None,
+        edit_config: Optional[EditConfig] = None,
+        rng: Optional[np.random.Generator] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Edit one text region.  Returns (edited uint8 image, full-size mask).
+
+        API mirror of the reference's
+        ``text_editing(text, image, steps, x0, y0, x1, y1) -> (PIL, mask*255)``
+        (app.ipynb:653,854).
+        """
+        ec = edit_config or self.config.edit
+        steps = num_inference_steps or ec.num_inference_steps
+        seed = ec.seed if seed is None else seed
+        res = ec.resolution
+
+        image = np.asarray(image, dtype=np.uint8)
+        h, w = image.shape[:2]
+        location = process_location(np.int32(box), (h, w))
+        mask = generate_mask((h, w), location)
+        masked = make_masked_image(image, mask)
+
+        x_s, y_s, crop_scale = infer_crop_params((h, w), location, rng)
+        crop = image[y_s : y_s + crop_scale, x_s : x_s + crop_scale]
+        mask_crop = mask[y_s : y_s + crop_scale, x_s : x_s + crop_scale]
+        masked_crop = masked[y_s : y_s + crop_scale, x_s : x_s + crop_scale]
+
+        # albumentations Resize(512,512) == cv2 INTER_LINEAR (reference
+        # train_diffute_v1.py:336-345); the 0/1 mask is resized the same way.
+        crop512 = cv2.resize(crop, (res, res), interpolation=cv2.INTER_LINEAR)
+        mask512 = cv2.resize(mask_crop, (res, res), interpolation=cv2.INTER_LINEAR)
+        masked512 = cv2.resize(masked_crop, (res, res), interpolation=cv2.INTER_LINEAR)
+
+        glyph = render_glyph(text, self.config.glyph)
+        glyph384 = trocr_preprocess_host([glyph], self.config.trocr)
+        null384 = trocr_preprocess_host([render_glyph("", self.config.glyph)],
+                                        self.config.trocr)
+
+        fn = self._get_compiled(steps, ec.sampler, ec.guidance_scale,
+                                ec.masked_latent_blend)
+        out = fn(
+            self.params,
+            jnp.asarray(crop512[None]),
+            jnp.asarray(mask512[None]),
+            jnp.asarray(masked512[None]),
+            jnp.asarray(glyph384),
+            jnp.asarray(null384),
+            jax.random.PRNGKey(seed),
+        )
+        edited = np.asarray(jax.device_get(out))[0]
+
+        result = paste_back(image, edited, x_s, y_s, crop_scale, location)
+        return result, mask * 255

@@ -1,0 +1,5 @@
+from diffute_tpu.text.glyph import render_glyph, find_font  # noqa: F401
+from diffute_tpu.text.preprocess import (  # noqa: F401
+    trocr_preprocess_host,
+    trocr_normalize,
+)

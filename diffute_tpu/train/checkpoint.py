@@ -1,0 +1,147 @@
+"""Checkpoint save/restore (orbax) + diffusers-layout export.
+
+Parity targets from the reference:
+- ``accelerator.save_state(checkpoint-{step})`` every N steps with rotation
+  (train_diffute_v1.py:941-945, flags :287-295; train_vae.py:746-750)
+- custom hooks that also serialize diffusers-format ``unet/``, ``unet_ema/``,
+  ``vae/`` subfolders (train_diffute_v1.py:662-693)
+- ``--resume_from_checkpoint latest``: scan ``checkpoint-*`` dirs, pick the
+  highest step (train_diffute_v1.py:829-851)
+
+Here: orbax for the native {params, opt_state, ema, step} state (async-able,
+multi-host safe), plus safetensors export in diffusers naming via
+diffute_tpu.compat so reference-stack users can load our checkpoints
+directly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from diffute_tpu.compat import export_unet_params, export_vae_params, save_safetensors
+
+
+def save_checkpoint(output_dir: str, step: int, state: Any,
+                    total_limit: Optional[int] = None) -> str:
+    """Save train state under ``{output_dir}/checkpoint-{step}``; rotate old
+    checkpoints beyond ``total_limit`` (reference flag --checkpoints_total_limit,
+    train_diffute_v1.py:296-304)."""
+    path = os.path.join(os.path.abspath(output_dir), f"checkpoint-{step}")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, "state"),
+               jax.tree_util.tree_map(np.asarray, state))
+    ckptr.wait_until_finished()
+    if total_limit:
+        ckpts = list_checkpoints(output_dir)
+        for old in ckpts[:-total_limit]:
+            shutil.rmtree(os.path.join(output_dir, old), ignore_errors=True)
+    return path
+
+
+def list_checkpoints(output_dir: str):
+    if not os.path.isdir(output_dir):
+        return []
+    dirs = [d for d in os.listdir(output_dir) if re.fullmatch(r"checkpoint-\d+", d)]
+    return sorted(dirs, key=lambda d: int(d.split("-")[1]))
+
+
+def latest_checkpoint(output_dir: str) -> Optional[str]:
+    ckpts = list_checkpoints(output_dir)
+    return os.path.join(output_dir, ckpts[-1]) if ckpts else None
+
+
+def restore_checkpoint(path: str, target: Any) -> Any:
+    """Restore into the structure of ``target`` (a matching state pytree)."""
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.join(os.path.abspath(path), "state"),
+                         target=jax.tree_util.tree_map(np.asarray, target))
+
+
+def resolve_resume(output_dir: str, resume: Optional[str]) -> Optional[str]:
+    """'latest' -> newest checkpoint dir; explicit path -> itself
+    (reference train_diffute_v1.py:829-841)."""
+    if not resume:
+        return None
+    if resume == "latest":
+        return latest_checkpoint(output_dir)
+    return resume if os.path.isdir(resume) else None
+
+
+# ---------------------------------------------------------------------------
+# diffusers-layout export (drop-in for the reference stack)
+# ---------------------------------------------------------------------------
+
+
+def export_diffusers_layout(
+    path: str,
+    unet_params: Optional[Any] = None,
+    unet_ema_params: Optional[Any] = None,
+    vae_params: Optional[Any] = None,
+    unet_config: Optional[dict] = None,
+    vae_config: Optional[dict] = None,
+) -> None:
+    """Write ``unet/``, ``unet_ema/``, ``vae/`` subfolders with
+    diffusion_pytorch_model.safetensors + config.json, mirroring the layout
+    the reference's save hooks produce (train_diffute_v1.py:662-675)."""
+    for sub, params, cfg, export in (
+        ("unet", unet_params, unet_config, export_unet_params),
+        ("unet_ema", unet_ema_params, unet_config, export_unet_params),
+        ("vae", vae_params, vae_config, export_vae_params),
+    ):
+        if params is None:
+            continue
+        d = os.path.join(path, sub)
+        os.makedirs(d, exist_ok=True)
+        sd = export(jax.tree_util.tree_map(np.asarray, params))
+        save_safetensors(sd, os.path.join(d, "diffusion_pytorch_model.safetensors"))
+        if cfg is not None:
+            with open(os.path.join(d, "config.json"), "w") as f:
+                json.dump(cfg, f, indent=2)
+
+
+def diffusers_unet_config_json(config) -> dict:
+    """Our UNetConfig -> diffusers UNet2DConditionModel config dict."""
+    down = ["CrossAttnDownBlock2D" if a else "DownBlock2D"
+            for a in config.down_block_has_attn]
+    up = ["CrossAttnUpBlock2D" if a else "UpBlock2D"
+          for a in config.up_block_has_attn]
+    return {
+        "_class_name": "UNet2DConditionModel",
+        "sample_size": config.sample_size,
+        "in_channels": config.in_channels,
+        "out_channels": config.out_channels,
+        "block_out_channels": list(config.block_out_channels),
+        "layers_per_block": config.layers_per_block,
+        "down_block_types": down,
+        "up_block_types": up,
+        "attention_head_dim": list(config.num_attention_heads),
+        "cross_attention_dim": config.cross_attention_dim,
+        "norm_num_groups": config.norm_num_groups,
+        "use_linear_projection": config.use_linear_projection,
+        "act_fn": "silu",
+    }
+
+
+def diffusers_vae_config_json(config) -> dict:
+    return {
+        "_class_name": "AutoencoderKL",
+        "sample_size": config.sample_size,
+        "in_channels": config.in_channels,
+        "out_channels": config.out_channels,
+        "block_out_channels": list(config.block_out_channels),
+        "layers_per_block": config.layers_per_block,
+        "latent_channels": config.latent_channels,
+        "norm_num_groups": config.norm_num_groups,
+        "scaling_factor": config.scaling_factor,
+        "down_block_types": ["DownEncoderBlock2D"] * len(config.block_out_channels),
+        "up_block_types": ["UpDecoderBlock2D"] * len(config.block_out_channels),
+        "act_fn": "silu",
+    }

@@ -1,0 +1,170 @@
+"""Stage-2 trainer: SD2-inpaint UNet with TrOCR glyph conditioning.
+
+Re-implements the reference's training step (train_diffute_v1.py:858-951)
+as ONE jit'd function over a data-parallel mesh:
+
+  glyph -> TrOCR encode (frozen)                       [ref :868-871]
+  pixels/masked -> VAE encode x sf (frozen)            [ref :875-876,886-887]
+  mask -> nearest-downsample to latent res             [ref :880-884]
+  t ~ U[0, T); noisy = add_noise(latents, eps, t)      [ref :892-897]
+  target = eps | velocity                              [ref :904-909]
+  pred = unet(concat 9ch, t, ctx); loss = MSE          [ref :912-918]
+  grad accumulation -> clip -> AdamW -> EMA            [ref :873,925-935]
+
+Distribution: batch sharded over the ``data`` mesh axis, params replicated;
+XLA derives the gradient all-reduce (the reference's DDP/NCCL allreduce,
+SURVEY.md §2d).  The loss in metrics is the global mean — the jnp.mean over
+the sharded batch dimension compiles to a psum, replacing
+``accelerator.gather(loss)`` (ref :921).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffute_tpu.config import DiffUTEConfig
+from diffute_tpu.diffusion import add_noise, make_schedule, training_target
+from diffute_tpu.models import AutoencoderKL, TrOCREncoder, UNet2DCondition
+from diffute_tpu.models.ema import ema_update
+from diffute_tpu.models.vae import sample_latent
+from diffute_tpu.parallel import make_mesh, shard_batch
+from diffute_tpu.text import trocr_normalize
+from diffute_tpu.train.optim import build_optimizer
+from diffute_tpu.train.state import TrainState
+
+
+def _cast(tree, dtype):
+    return jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)
+
+
+def make_unet_train_step(
+    config: DiffUTEConfig,
+    tx,
+) -> Callable:
+    """Build the jit-able train step.
+
+    Batch layout (all device arrays, leading dim = global batch):
+      pixel_values  (B, R, R, 3) float32 in [-1, 1]
+      masks         (B, R, R)    float32 {0, 1}
+      masked_images (B, R, R, 3) float32 in [-1, 1]
+      glyph_pixels  (B, 384, 384, 3) uint8
+
+    With gradient_accumulation_steps > 1 the caller passes
+    (accum, micro, ...) leading dims instead and the step scans.
+    """
+    vae = AutoencoderKL(config.vae)
+    unet = UNet2DCondition(config.unet)
+    trocr = TrOCREncoder(config.trocr)
+    schedule = make_schedule(config.scheduler)
+    sf = config.vae.scaling_factor
+    f = config.vae.scale_factor
+    accum = config.train.gradient_accumulation_steps
+    bf16 = config.train.mixed_precision == "bf16"
+    T = config.scheduler.num_train_timesteps
+    noise_offset = config.train.noise_offset
+
+    def loss_fn(unet_params, frozen, micro, rng):
+        kv, km, kn, kt, ko = jax.random.split(rng, 5)
+        compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
+        u_params = _cast(unet_params, compute_dtype) if bf16 else unet_params
+        v_params = _cast(frozen["vae"], compute_dtype) if bf16 else frozen["vae"]
+        t_params = _cast(frozen["trocr"], compute_dtype) if bf16 else frozen["trocr"]
+
+        pixels = micro["pixel_values"].astype(compute_dtype)
+        masked = micro["masked_images"].astype(compute_dtype)
+        glyphs = trocr_normalize(micro["glyph_pixels"]).astype(compute_dtype)
+
+        ctx = trocr.apply({"params": t_params}, glyphs)
+
+        mean, logvar = vae.apply({"params": v_params}, pixels, method=vae.encode)
+        latents = sample_latent(mean, logvar, kv) * sf
+        mmean, mlogvar = vae.apply({"params": v_params}, masked, method=vae.encode)
+        masked_latents = sample_latent(mmean, mlogvar, km) * sf
+
+        B, r = latents.shape[0], latents.shape[1]
+        mask_lat = jax.image.resize(
+            micro["masks"].astype(compute_dtype), (B, r, r), method="nearest"
+        )[..., None]
+
+        noise = jax.random.normal(kn, latents.shape, latents.dtype)
+        if noise_offset:
+            noise = noise + noise_offset * jax.random.normal(
+                ko, (B, 1, 1, latents.shape[-1]), latents.dtype)
+        t = jax.random.randint(kt, (B,), 0, T)
+        noisy = add_noise(schedule, latents, noise, t)
+        target = training_target(schedule, latents, noise, t)
+
+        x_in = jnp.concatenate([noisy, mask_lat, masked_latents], axis=-1)
+        pred = unet.apply({"params": u_params}, x_in, t, ctx)
+        loss = jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+        return loss
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def train_step(state: TrainState, frozen: Dict[str, Any], batch, rng):
+        if accum > 1:
+            def micro_step(carry, xs):
+                loss_acc, grad_acc = carry
+                micro, k = xs
+                loss, grads = grad_fn(state.params, frozen, micro, k)
+                return (loss_acc + loss,
+                        jax.tree_util.tree_map(jnp.add, grad_acc, grads)), None
+
+            keys = jax.random.split(rng, accum)
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                micro_step, (jnp.zeros(()), zero_grads), (batch, keys))
+            loss = loss_sum / accum
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grad_sum)
+        else:
+            loss, grads = grad_fn(state.params, frozen, batch, rng)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        new_ema = (ema_update(state.ema, new_params, config.train.ema_decay)
+                   if state.ema is not None else None)
+        grad_norm = optax_global_norm(grads)
+        new_state = TrainState(params=new_params, opt_state=new_opt,
+                               step=state.step + 1, ema=new_ema)
+        return new_state, {"loss": loss, "grad_norm": grad_norm}
+
+    return train_step
+
+
+def optax_global_norm(tree) -> jax.Array:
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x))
+                        for x in jax.tree_util.tree_leaves(tree)))
+
+
+class UNetTrainer:
+    """Host-side orchestration: mesh placement, jit, checkpoint, logging."""
+
+    def __init__(
+        self,
+        config: DiffUTEConfig,
+        unet_params,
+        frozen_params: Dict[str, Any],
+        mesh=None,
+        total_steps: Optional[int] = None,
+    ):
+        self.config = config
+        self.mesh = mesh or make_mesh(config.train.dp_size)
+        total = total_steps or config.train.max_train_steps or 10_000
+        self.tx = build_optimizer(config.train.optimizer, total)
+        self.state = TrainState.create(unet_params, self.tx,
+                                       use_ema=config.train.use_ema)
+        self.frozen = frozen_params
+        self._step = jax.jit(
+            make_unet_train_step(config, self.tx), donate_argnums=(0,))
+
+    def step(self, batch: Dict[str, np.ndarray], rng) -> Dict[str, float]:
+        accum = self.config.train.gradient_accumulation_steps
+        batch = shard_batch(self.mesh, batch, batch_axis=1 if accum > 1 else 0)
+        self.state, metrics = self._step(self.state, self.frozen, batch, rng)
+        return metrics

@@ -1,0 +1,70 @@
+"""Stage-1 trainer: VAE reconstruction fine-tune on document images.
+
+Re-implements the reference's stage-1 loop (train_vae.py:704-759): full
+encode -> sample -> decode, pixel-space MSE against the input (no KL /
+perceptual / GAN term, train_vae.py:721-724), AdamW + clip, data-parallel.
+The trained VAE checkpoint then feeds stage 2 (train_diffute_v1.py:632).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffute_tpu.config import DiffUTEConfig
+from diffute_tpu.models import AutoencoderKL
+from diffute_tpu.models.ema import ema_update
+from diffute_tpu.parallel import make_mesh, shard_batch
+from diffute_tpu.train.optim import build_optimizer
+from diffute_tpu.train.state import TrainState
+from diffute_tpu.train.unet_train import optax_global_norm
+
+
+def make_vae_train_step(config: DiffUTEConfig, tx) -> Callable:
+    """Batch layout: pixel_values (B, R, R, 3) float32 in [-1, 1]."""
+    vae = AutoencoderKL(config.vae)
+    bf16 = config.train.mixed_precision == "bf16"
+
+    def loss_fn(params, micro, rng):
+        dtype = jnp.bfloat16 if bf16 else jnp.float32
+        p = jax.tree_util.tree_map(lambda x: x.astype(dtype), params) if bf16 else params
+        pixels = micro["pixel_values"].astype(dtype)
+        recon = vae.apply({"params": p}, pixels, rng)
+        return jnp.mean((recon.astype(jnp.float32)
+                         - pixels.astype(jnp.float32)) ** 2)
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def train_step(state: TrainState, batch, rng):
+        loss, grads = grad_fn(state.params, batch, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                            state.params, updates)
+        new_ema = (ema_update(state.ema, new_params, config.train.ema_decay)
+                   if state.ema is not None else None)
+        new_state = TrainState(params=new_params, opt_state=new_opt,
+                               step=state.step + 1, ema=new_ema)
+        return new_state, {"loss": loss, "grad_norm": optax_global_norm(grads)}
+
+    return train_step
+
+
+class VAETrainer:
+    def __init__(self, config: DiffUTEConfig, vae_params, mesh=None,
+                 total_steps: Optional[int] = None):
+        self.config = config
+        self.mesh = mesh or make_mesh(config.train.dp_size)
+        total = total_steps or config.train.max_train_steps or 10_000
+        self.tx = build_optimizer(config.train.optimizer, total)
+        self.state = TrainState.create(vae_params, self.tx,
+                                       use_ema=config.train.use_ema)
+        self._step = jax.jit(make_vae_train_step(config, self.tx),
+                             donate_argnums=(0,))
+
+    def step(self, batch: Dict[str, np.ndarray], rng) -> Dict[str, float]:
+        batch = shard_batch(self.mesh, batch)
+        self.state, metrics = self._step(self.state, batch, rng)
+        return metrics

@@ -1,0 +1,113 @@
+"""Data pipeline tests: manifest compatibility (CSV + OCR JSON like the
+reference's doc_select.csv / OCR files, train_diffute_v1.py:424-453),
+synthetic dataset, batching, prefetch loader."""
+
+import json
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from diffute_tpu.config import tiny_test_config
+from diffute_tpu.io import (
+    SyntheticSceneDataset,
+    UNetManifestDataset,
+    VAEManifestDataset,
+    make_unet_batch,
+    make_vae_batch,
+)
+from diffute_tpu.io.dataset import PrefetchLoader
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_test_config()
+
+
+@pytest.fixture()
+def manifest(tmp_path):
+    """Build a reference-format manifest: images + OCR JSON + CSV."""
+    rows = []
+    for i in range(3):
+        img = np.random.RandomState(i).randint(0, 255, (300, 400, 3), np.uint8)
+        img_path = str(tmp_path / f"img{i}.png")
+        cv2.imwrite(img_path, img)
+        ocr = {"document": [
+            {"text": f"word{i}", "score": 0.95,
+             "box": [[50, 60], [180, 60], [180, 90], [50, 90]]},
+            {"text": "lowscore", "score": 0.5,
+             "box": [[10, 10], [20, 10], [20, 20], [10, 20]]},
+        ]}
+        ocr_path = str(tmp_path / f"ocr{i}.json")
+        with open(ocr_path, "w") as f:
+            json.dump(ocr, f)
+        rows.append((img_path, ocr_path))
+    csv_path = str(tmp_path / "doc_select.csv")
+    with open(csv_path, "w") as f:
+        f.write("image_path,ocr_path\n")
+        for ip, op in rows:
+            f.write(f"{ip},{op}\n")
+    return csv_path, rows
+
+
+def test_unet_manifest_dataset(cfg, manifest):
+    csv_path, rows = manifest
+    ds = UNetManifestDataset(csv_path, cfg)
+    assert len(ds) == 3
+    ex = ds[0]
+    res = cfg.edit.resolution
+    assert ex["pixel_values"].shape == (res, res, 3)
+    assert ex["pixel_values"].min() >= -1 and ex["pixel_values"].max() <= 1
+    assert ex["masks"].shape == (res, res)
+    assert set(np.unique(ex["masks"])) <= {0.0, 1.0}
+    assert ex["masked_images"].shape == (res, res, 3)
+    assert ex["glyph_image"].ndim == 3  # (60, (len+2)*40, 3)
+    # low-score region never selected: glyph text is "word0" (5 chars)
+    assert ex["glyph_image"].shape[1] == (5 + 2) * cfg.glyph.font_size
+
+
+def test_unet_batching(cfg, manifest):
+    csv_path, _ = manifest
+    ds = UNetManifestDataset(csv_path, cfg)
+    batch = make_unet_batch([ds[i] for i in range(3)], cfg)
+    g = cfg.trocr.image_size
+    assert batch["glyph_pixels"].shape == (3, g, g, 3)
+    assert batch["pixel_values"].shape[0] == 3
+
+
+def test_vae_manifest_dataset(cfg, tmp_path):
+    img = np.random.RandomState(0).randint(0, 255, (64, 80, 3), np.uint8)
+    p = str(tmp_path / "doc.png")
+    cv2.imwrite(p, img)
+    csv_path = str(tmp_path / "data.csv")
+    with open(csv_path, "w") as f:
+        f.write("path\n" + p + "\n")
+    ds = VAEManifestDataset(csv_path, cfg)
+    ex = ds[0]
+    res = cfg.edit.resolution
+    assert ex["pixel_values"].shape == (res, res, 3)
+    batch = make_vae_batch([ex, ex])
+    assert batch["pixel_values"].shape == (2, res, res, 3)
+
+
+def test_synthetic_dataset(cfg):
+    ds = SyntheticSceneDataset(cfg)
+    ex = ds[42]
+    res = cfg.edit.resolution
+    assert ex["pixel_values"].shape == (res, res, 3)
+    # deterministic per index
+    ex2 = ds[42]
+    np.testing.assert_array_equal(ex["pixel_values"], ex2["pixel_values"])
+
+
+def test_prefetch_loader(cfg):
+    ds = SyntheticSceneDataset(cfg)
+    loader = PrefetchLoader(ds, batch_size=2,
+                            collate=lambda ex: make_unet_batch(ex, cfg),
+                            num_threads=2, prefetch=2)
+    it = iter(loader)
+    b1 = next(it)
+    b2 = next(it)
+    assert b1["pixel_values"].shape[0] == 2
+    assert b2["glyph_pixels"].shape[0] == 2

@@ -1,0 +1,92 @@
+"""End-to-end pipeline tests on the tiny config (CPU): the full
+host-crop -> device(jit: trocr -> vae -> scan denoise -> decode) -> paste-back
+path of DiffUTEPipeline, the framework's equivalent of the reference's
+``text_editing`` (app.ipynb:653-854)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffute_tpu.config import tiny_test_config
+from diffute_tpu.models import AutoencoderKL, TrOCREncoder, UNet2DCondition
+from diffute_tpu.pipeline import DiffUTEPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = tiny_test_config()
+    vae = AutoencoderKL(cfg.vae)
+    unet = UNet2DCondition(cfg.unet)
+    trocr = TrOCREncoder(cfg.trocr)
+    res = cfg.edit.resolution
+    lat = res // cfg.vae.scale_factor
+    params = {
+        "vae": vae.init(jax.random.PRNGKey(0), jnp.zeros((1, res, res, 3)),
+                        jax.random.PRNGKey(1))["params"],
+        "unet": unet.init(jax.random.PRNGKey(2),
+                          jnp.zeros((1, lat, lat, 9)), jnp.array(0),
+                          jnp.zeros((1, cfg.trocr.seq_len, cfg.trocr.hidden_size)))["params"],
+        "trocr": trocr.init(jax.random.PRNGKey(3),
+                            jnp.zeros((1, cfg.trocr.image_size,
+                                       cfg.trocr.image_size, 3)))["params"],
+    }
+    return DiffUTEPipeline(cfg, params)
+
+
+@pytest.fixture()
+def scene():
+    img = np.random.RandomState(0).randint(0, 255, (120, 160, 3), np.uint8)
+    box = (40, 50, 100, 70)
+    return img, box
+
+
+def test_edit_runs_and_changes_only_bbox(pipe, scene):
+    img, box = scene
+    out, mask = pipe.edit(img, box, "NEW", num_inference_steps=3)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert mask.shape == img.shape[:2] and mask.max() == 255
+    changed = (out != img).any(axis=-1)
+    ys, xs = np.where(changed)
+    assert len(ys) > 0  # something was edited
+    x1, y1, x2, y2 = box
+    # box is extended down by 10% of its height by process_location
+    y2e = y2 + (y2 - y1) // 10
+    assert xs.min() >= x1 and xs.max() < x2
+    assert ys.min() >= y1 and ys.max() <= y2e
+
+
+def test_edit_deterministic_for_seed(pipe, scene):
+    img, box = scene
+    a, _ = pipe.edit(img, box, "abc", num_inference_steps=2, seed=7)
+    b, _ = pipe.edit(img, box, "abc", num_inference_steps=2, seed=7)
+    np.testing.assert_array_equal(a, b)
+    c, _ = pipe.edit(img, box, "abc", num_inference_steps=2, seed=8)
+    assert (a != c).any()
+
+
+def test_edit_ddim_sampler(pipe, scene):
+    img, box = scene
+    ec = dataclasses.replace(pipe.config.edit, sampler="ddim")
+    out, _ = pipe.edit(img, box, "xy", num_inference_steps=2, edit_config=ec)
+    assert out.shape == img.shape
+
+
+def test_edit_cfg_and_blend_opt_in(pipe, scene):
+    img, box = scene
+    ec = dataclasses.replace(pipe.config.edit, guidance_scale=3.0,
+                             masked_latent_blend=True)
+    out, _ = pipe.edit(img, box, "xy", num_inference_steps=2, edit_config=ec)
+    assert out.shape == img.shape
+    changed = (out != img).any(axis=-1)
+    assert changed.any()
+
+
+def test_compiled_cache_reused(pipe, scene):
+    img, box = scene
+    pipe.edit(img, box, "one", num_inference_steps=2)
+    n = len(pipe._compiled)
+    pipe.edit(img, box, "two", num_inference_steps=2)
+    assert len(pipe._compiled) == n

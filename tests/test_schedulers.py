@@ -96,7 +96,8 @@ def test_ddpm_step_deterministic_mean_at_t0(sched):
     eps = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 8, 8))
     t = jnp.array(0)
     xt = add_noise(sched, x0, eps, t)
-    out = ddpm_step(sched, eps, t, xt, jax.random.PRNGKey(2), num_inference_steps=50)
+    anc = jax.random.normal(jax.random.PRNGKey(2), x0.shape)
+    out = ddpm_step(sched, eps, t, xt, anc, num_inference_steps=50)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-4)
 
 
@@ -125,14 +126,16 @@ def test_ddpm_step_in_scan(sched):
 
     @jax.jit
     def run(sample):
-        def body(carry, t):
-            s, key = carry
-            key, sub = jax.random.split(key)
-            model_out = s * 0.1  # stand-in network
-            s = ddpm_step(sched, model_out, t, s, sub, num_inference_steps=10)
-            return (s, key), None
+        # ancestral noise generated outside the loop, streamed as scan xs
+        noises = jax.random.normal(jax.random.PRNGKey(1), (10,) + sample.shape)
 
-        (s, _), _ = jax.lax.scan(body, (sample, jax.random.PRNGKey(1)), ts)
+        def body(s, xs):
+            t, noise = xs
+            model_out = s * 0.1  # stand-in network
+            s = ddpm_step(sched, model_out, t, s, noise, num_inference_steps=10)
+            return s, None
+
+        s, _ = jax.lax.scan(body, sample, (ts, noises))
         return s
 
     out = run(sample0)

@@ -1,0 +1,140 @@
+"""Trainer tests on the 8-device virtual CPU mesh: data-parallel UNet/VAE
+steps, gradient accumulation, EMA, checkpoint save/restore/export."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffute_tpu.config import tiny_test_config
+from diffute_tpu.train import UNetTrainer, VAETrainer
+from diffute_tpu.train.checkpoint import (
+    export_diffusers_layout,
+    diffusers_unet_config_json,
+    diffusers_vae_config_json,
+    latest_checkpoint,
+    resolve_resume,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from diffute_tpu.utils import init_pipeline_params
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_test_config()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return init_pipeline_params(cfg)
+
+
+def _unet_batch(cfg, n, accum=None):
+    res = cfg.edit.resolution
+    g = cfg.trocr.image_size
+    rng = np.random.RandomState(0)
+    shape = lambda *s: ((accum, n // accum) + s) if accum else ((n,) + s)
+    return {
+        "pixel_values": rng.randn(*shape(res, res, 3)).astype(np.float32).clip(-1, 1),
+        "masks": (rng.rand(*shape(res, res)) > 0.8).astype(np.float32),
+        "masked_images": rng.randn(*shape(res, res, 3)).astype(np.float32).clip(-1, 1),
+        "glyph_pixels": rng.randint(0, 255, shape(g, g, 3), dtype=np.uint8),
+    }
+
+
+def test_unet_trainer_dp8(cfg, params):
+    assert len(jax.devices()) == 8
+    tc = dataclasses.replace(cfg.train, use_ema=True)
+    c = dataclasses.replace(cfg, train=tc)
+    trainer = UNetTrainer(c, params["unet"],
+                          {"vae": params["vae"], "trocr": params["trocr"]},
+                          total_steps=10)
+    losses = []
+    for i in range(2):
+        m = trainer.step(_unet_batch(cfg, 8), jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+        assert np.isfinite(float(m["grad_norm"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert int(trainer.state.step) == 2
+    assert int(trainer.state.ema.step) == 2
+    # EMA params differ from live params but stay close
+    lp = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    ep = jax.tree_util.tree_leaves(trainer.state.ema.params)[0]
+    assert not np.allclose(np.asarray(lp), np.asarray(ep))
+
+
+def test_unet_trainer_grad_accum(cfg, params):
+    tc = dataclasses.replace(cfg.train, gradient_accumulation_steps=2)
+    c = dataclasses.replace(cfg, train=tc)
+    trainer = UNetTrainer(c, params["unet"],
+                          {"vae": params["vae"], "trocr": params["trocr"]},
+                          total_steps=10)
+    # (accum=2, micro=8): micro batch must divide the 8-device mesh
+    m = trainer.step(_unet_batch(cfg, 16, accum=2), jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_unet_trainer_bf16(cfg, params):
+    tc = dataclasses.replace(cfg.train, mixed_precision="bf16")
+    c = dataclasses.replace(cfg, train=tc)
+    trainer = UNetTrainer(c, params["unet"],
+                          {"vae": params["vae"], "trocr": params["trocr"]},
+                          total_steps=10)
+    m = trainer.step(_unet_batch(cfg, 8), jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    # master params stay fp32
+    assert jax.tree_util.tree_leaves(trainer.state.params)[0].dtype == jnp.float32
+
+
+def test_vae_trainer_loss_decreases(cfg, params):
+    trainer = VAETrainer(cfg, params["vae"], total_steps=50)
+    res = cfg.edit.resolution
+    batch = {"pixel_values": np.random.RandomState(0)
+             .randn(8, res, res, 3).astype(np.float32).clip(-1, 1)}
+    first = None
+    for i in range(5):
+        m = trainer.step(batch, jax.random.PRNGKey(i))
+        if first is None:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first  # same batch -> recon improves
+
+
+def test_checkpoint_roundtrip(tmp_path, cfg, params):
+    trainer = VAETrainer(cfg, params["vae"], total_steps=10)
+    res = cfg.edit.resolution
+    batch = {"pixel_values": np.zeros((8, res, res, 3), np.float32)}
+    trainer.step(batch, jax.random.PRNGKey(0))
+    out = str(tmp_path / "ckpts")
+    save_checkpoint(out, 1, trainer.state)
+    save_checkpoint(out, 2, trainer.state, total_limit=1)
+    assert latest_checkpoint(out).endswith("checkpoint-2")
+    assert resolve_resume(out, "latest").endswith("checkpoint-2")
+    restored = restore_checkpoint(latest_checkpoint(out), trainer.state)
+    a = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == 1
+
+
+def test_diffusers_layout_export(tmp_path, cfg, params):
+    path = str(tmp_path / "export")
+    export_diffusers_layout(
+        path,
+        unet_params=params["unet"],
+        vae_params=params["vae"],
+        unet_config=diffusers_unet_config_json(cfg.unet),
+        vae_config=diffusers_vae_config_json(cfg.vae),
+    )
+    for sub in ("unet", "vae"):
+        assert os.path.exists(os.path.join(path, sub,
+                                           "diffusion_pytorch_model.safetensors"))
+        assert os.path.exists(os.path.join(path, sub, "config.json"))
+    from safetensors.numpy import load_file
+    sd = load_file(os.path.join(path, "unet",
+                                "diffusion_pytorch_model.safetensors"))
+    assert "conv_in.weight" in sd
+    assert sd["conv_in.weight"].shape[1] == 9  # OIHW, inpaint channels
