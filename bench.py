@@ -38,6 +38,10 @@ def main() -> None:
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--warmup", type=int, default=1)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--no-flash", action="store_true",
+                   help="disable the Pallas flash-attention kernel")
+    p.add_argument("--no-fused-gn", action="store_true",
+                   help="disable the fused GroupNorm+SiLU kernel")
     args = p.parse_args()
 
     jax.config.update("jax_default_prng_impl", "rbg")
@@ -50,12 +54,15 @@ def main() -> None:
     from diffute_tpu.utils import init_pipeline_params
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    use_pallas = jax.default_backend() != "cpu"
     if args.tiny:
         cfg = tiny_test_config()
     else:
         cfg = DiffUTEConfig(
             vae=VAEConfig(dtype=dtype),
-            unet=UNetConfig(dtype=dtype),
+            unet=UNetConfig(dtype=dtype,
+                            use_flash_attention=use_pallas and not args.no_flash,
+                            use_fused_groupnorm=use_pallas and not args.no_fused_gn),
             trocr=TrOCRConfig(dtype=dtype),
             edit=EditConfig(resolution=args.res, sampler=args.sampler,
                             num_inference_steps=args.steps),

@@ -74,6 +74,8 @@ class UNetConfig:
     dtype: jnp.dtype = jnp.float32
     # Use Pallas flash-attention kernels instead of XLA dot-product attention.
     use_flash_attention: bool = False
+    # Use the fused Pallas GroupNorm+SiLU kernel in resnet blocks.
+    use_fused_groupnorm: bool = False
     # Rematerialize attention/resnet blocks to trade FLOPs for HBM (training).
     remat: bool = False
 

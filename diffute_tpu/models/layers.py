@@ -61,6 +61,28 @@ class TimestepEmbedding(nn.Module):
         return x
 
 
+class GroupNormSiLU(nn.Module):
+    """GroupNorm fused with SiLU (Pallas kernel when shapes allow).
+
+    Parameter names/shapes identical to ``nn.GroupNorm`` (scale, bias) so the
+    HF weight mapping is unchanged.
+    """
+
+    groups: int = 32
+    eps: float = 1e-5
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from diffute_tpu.ops.groupnorm import group_norm_silu
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm_silu(x, scale, bias, self.groups, self.eps,
+                               use_pallas=self.use_pallas)
+
+
 class ResnetBlock2D(nn.Module):
     """GroupNorm -> SiLU -> Conv ×2 with optional time-embedding injection."""
 
@@ -69,13 +91,20 @@ class ResnetBlock2D(nn.Module):
     groups: int = 32
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    fused_gn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+
+        def norm_silu(name):
+            if self.fused_gn:
+                return GroupNormSiLU(groups=self.groups, eps=self.eps, name=name)
+            gn = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                              dtype=self.dtype, name=name)
+            return lambda x: nn.silu(gn(x))
+
+        h = norm_silu("norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv1")(h)
         if self.use_time_emb:
@@ -84,9 +113,7 @@ class ResnetBlock2D(nn.Module):
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = norm_silu("norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:

@@ -18,6 +18,7 @@ training memory, and attention routed through the Pallas flash kernel when
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import flax.linen as nn
@@ -28,6 +29,7 @@ from diffute_tpu.config import UNetConfig
 from diffute_tpu.models.attention import Transformer2D
 from diffute_tpu.models.layers import (
     Downsample2D,
+    GroupNormSiLU,
     ResnetBlock2D,
     TimestepEmbedding,
     Upsample2D,
@@ -49,10 +51,12 @@ class UNet2DCondition(nn.Module):
         ch0 = cfg.block_out_channels[0]
         time_embed_dim = ch0 * 4
 
-        resnet = ResnetBlock2D
+        resnet = functools.partial(ResnetBlock2D,
+                                   fused_gn=cfg.use_fused_groupnorm)
         transformer = Transformer2D
         if cfg.remat:
-            resnet = nn.remat(ResnetBlock2D)
+            resnet = functools.partial(nn.remat(ResnetBlock2D),
+                                       fused_gn=cfg.use_fused_groupnorm)
             transformer = nn.remat(Transformer2D)
 
         # --- time embedding ---
@@ -130,9 +134,13 @@ class UNet2DCondition(nn.Module):
                                name=f"up_blocks_{u}_upsamplers_0")(x)
 
         # --- out ---
-        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
-                         dtype=cfg.dtype, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        if cfg.use_fused_groupnorm:
+            x = GroupNormSiLU(groups=cfg.norm_num_groups, eps=1e-5,
+                              name="conv_norm_out")(x)
+        else:
+            x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
+                             dtype=cfg.dtype, name="conv_norm_out")(x)
+            x = nn.silu(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=cfg.dtype, name="conv_out")(x)
         return x

@@ -50,7 +50,11 @@ def dot_product_attention(
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if use_flash:
+    # Flash pays off on the long self-attention shapes (measured on v5e:
+    # 5.4x at 4096 tokens, 2.9x at 16384); at short KV (cross-attention's
+    # 577 TrOCR tokens, deep-block self-attn) XLA's fused softmax is already
+    # at the noise floor, so route there.
+    if use_flash and k.shape[1] >= 1024:
         from diffute_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)

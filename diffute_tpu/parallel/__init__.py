@@ -1,6 +1,7 @@
 from diffute_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     batch_sharding,
+    maybe_init_distributed,
     replicated_sharding,
     shard_batch,
 )

@@ -261,6 +261,69 @@ class DiffUTEPipeline:
         res = ec.resolution
 
         image = np.asarray(image, dtype=np.uint8)
+        region, mask = self._prepare_region(image, box, text, res, rng)
+        edited = self._run_device([region], steps, ec, seed)[0]
+        result = paste_back(image, edited, region["x_s"], region["y_s"],
+                            region["crop_scale"], region["location"])
+        return result, mask * 255
+
+    def edit_multi(
+        self,
+        image: np.ndarray,
+        regions,                       # iterable of (box, text)
+        num_inference_steps: Optional[int] = None,
+        seed: Optional[int] = None,
+        edit_config: Optional[EditConfig] = None,
+        rng: Optional[np.random.Generator] = None,
+    ) -> np.ndarray:
+        """Edit several (disjoint) text regions of one image in ONE batched
+        device pass — the multi-region mode of BASELINE config 4."""
+        ec = edit_config or self.config.edit
+        steps = num_inference_steps or ec.num_inference_steps
+        seed = ec.seed if seed is None else seed
+        res = ec.resolution
+
+        image = np.asarray(image, dtype=np.uint8)
+        prepped = [self._prepare_region(image, box, text, res, rng)[0]
+                   for box, text in regions]
+        edited = self._run_device(prepped, steps, ec, seed)
+        result = image
+        for r, e in zip(prepped, edited):
+            result = paste_back(result, e, r["x_s"], r["y_s"],
+                                r["crop_scale"], r["location"])
+        return result
+
+    def edit_batch(
+        self,
+        items,                         # iterable of (image, box, text)
+        num_inference_steps: Optional[int] = None,
+        seed: Optional[int] = None,
+        edit_config: Optional[EditConfig] = None,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        """Batch independent edits (one region each) through one device pass.
+        Returns a list of edited images."""
+        ec = edit_config or self.config.edit
+        steps = num_inference_steps or ec.num_inference_steps
+        seed = ec.seed if seed is None else seed
+        res = ec.resolution
+
+        prepped = []
+        images = []
+        for image, box, text in items:
+            image = np.asarray(image, dtype=np.uint8)
+            images.append(image)
+            prepped.append(self._prepare_region(image, box, text, res, rng)[0])
+        edited = self._run_device(prepped, steps, ec, seed)
+        return [paste_back(img, e, r["x_s"], r["y_s"], r["crop_scale"],
+                           r["location"])
+                for img, e, r in zip(images, edited, prepped)]
+
+    # ------------------------------------------------------------------
+    # Host helpers
+    # ------------------------------------------------------------------
+
+    def _prepare_region(self, image, box, text, res, rng):
         h, w = image.shape[:2]
         location = process_location(np.int32(box), (h, w))
         mask = generate_mask((h, w), location)
@@ -273,27 +336,33 @@ class DiffUTEPipeline:
 
         # albumentations Resize(512,512) == cv2 INTER_LINEAR (reference
         # train_diffute_v1.py:336-345); the 0/1 mask is resized the same way.
-        crop512 = cv2.resize(crop, (res, res), interpolation=cv2.INTER_LINEAR)
-        mask512 = cv2.resize(mask_crop, (res, res), interpolation=cv2.INTER_LINEAR)
-        masked512 = cv2.resize(masked_crop, (res, res), interpolation=cv2.INTER_LINEAR)
+        region = {
+            "crop512": cv2.resize(crop, (res, res),
+                                  interpolation=cv2.INTER_LINEAR),
+            "mask512": cv2.resize(mask_crop, (res, res),
+                                  interpolation=cv2.INTER_LINEAR),
+            "masked512": cv2.resize(masked_crop, (res, res),
+                                    interpolation=cv2.INTER_LINEAR),
+            "glyph": render_glyph(text, self.config.glyph),
+            "x_s": x_s, "y_s": y_s, "crop_scale": crop_scale,
+            "location": location,
+        }
+        return region, mask
 
-        glyph = render_glyph(text, self.config.glyph)
-        glyph384 = trocr_preprocess_host([glyph], self.config.trocr)
+    def _run_device(self, regions, steps, ec, seed) -> np.ndarray:
+        glyph384 = trocr_preprocess_host([r["glyph"] for r in regions],
+                                         self.config.trocr)
         null384 = trocr_preprocess_host([render_glyph("", self.config.glyph)],
                                         self.config.trocr)
-
         fn = self._get_compiled(steps, ec.sampler, ec.guidance_scale,
                                 ec.masked_latent_blend)
         out = fn(
             self.params,
-            jnp.asarray(crop512[None]),
-            jnp.asarray(mask512[None]),
-            jnp.asarray(masked512[None]),
+            jnp.asarray(np.stack([r["crop512"] for r in regions])),
+            jnp.asarray(np.stack([r["mask512"] for r in regions])),
+            jnp.asarray(np.stack([r["masked512"] for r in regions])),
             jnp.asarray(glyph384),
             jnp.asarray(null384),
             jax.random.PRNGKey(seed),
         )
-        edited = np.asarray(jax.device_get(out))[0]
-
-        result = paste_back(image, edited, x_s, y_s, crop_scale, location)
-        return result, mask * 255
+        return np.asarray(jax.device_get(out))

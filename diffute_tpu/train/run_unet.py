@@ -1,0 +1,180 @@
+"""Stage-2 training entry point (the reference's ``train_diffute_v1.py main()``).
+
+Usage:
+  python -m diffute_tpu.train.run_unet --manifest doc_select.csv \\
+      --pretrained <diffusers-layout dir> --output-dir out \\
+      --max-train-steps 10000 [--resume-from-checkpoint latest] ...
+  python -m diffute_tpu.train.run_unet --smoke     # tiny synthetic run
+
+Flag names follow the reference's where they exist
+(train_diffute_v1.py:69-332).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--manifest", default=None,
+                   help="CSV with image_path/ocr_path columns (doc_select.csv)")
+    p.add_argument("--pretrained", default=None,
+                   help="diffusers-layout dir with vae/ unet/ (+ trocr/)")
+    p.add_argument("--output_dir", "--output-dir", default="diffute-unet")
+    p.add_argument("--train_batch_size", type=int, default=16)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--max_train_steps", "--max-train-steps", type=int, default=10000)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--lr_scheduler", default="constant")
+    p.add_argument("--lr_warmup_steps", type=int, default=500)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--mixed_precision", default="no", choices=["no", "bf16"])
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument("--checkpointing_steps", type=int, default=1000)
+    p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument("--resume_from_checkpoint", "--resume-from-checkpoint",
+                   default=None)
+    p.add_argument("--prediction_type", default=None,
+                   choices=[None, "epsilon", "v_prediction"])
+    p.add_argument("--noise_offset", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--report_to", default="tensorboard")
+    p.add_argument("--logging_dir", default="logs")
+    p.add_argument("--dataloader_num_workers", type=int, default=4)
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny config + synthetic data, 2 steps")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    import numpy as np
+
+    from diffute_tpu.config import (DiffUTEConfig, OptimizerConfig,
+                                    SchedulerConfig, TrainConfig,
+                                    tiny_test_config)
+    from diffute_tpu.io import SyntheticSceneDataset, UNetManifestDataset, make_unet_batch
+    from diffute_tpu.io.dataset import PrefetchLoader
+    from diffute_tpu.parallel import maybe_init_distributed
+    from diffute_tpu.train import UNetTrainer
+    from diffute_tpu.train.checkpoint import (
+        diffusers_unet_config_json, export_diffusers_layout, resolve_resume,
+        restore_checkpoint, save_checkpoint)
+    from diffute_tpu.utils import init_pipeline_params
+    from diffute_tpu.utils.metrics import MetricWriter
+    from diffute_tpu.utils.profiling import StepTimer
+
+    maybe_init_distributed()
+
+    max_steps = 2 if args.smoke else args.max_train_steps
+    train_cfg = TrainConfig(
+        train_batch_size=args.train_batch_size,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        max_train_steps=max_steps,
+        mixed_precision=args.mixed_precision,
+        gradient_checkpointing=args.gradient_checkpointing,
+        use_ema=args.use_ema,
+        checkpointing_steps=args.checkpointing_steps,
+        checkpoints_total_limit=args.checkpoints_total_limit,
+        resume_from_checkpoint=args.resume_from_checkpoint,
+        seed=args.seed,
+        output_dir=args.output_dir,
+        noise_offset=args.noise_offset,
+        prediction_type=args.prediction_type,
+        dataloader_num_workers=args.dataloader_num_workers,
+        optimizer=OptimizerConfig(
+            learning_rate=args.learning_rate,
+            lr_scheduler=args.lr_scheduler,
+            lr_warmup_steps=args.lr_warmup_steps,
+            max_grad_norm=args.max_grad_norm,
+        ),
+    )
+
+    if args.smoke:
+        config = dataclasses.replace(tiny_test_config(), train=train_cfg)
+        batch_size = max(2, len(jax.devices()))
+    else:
+        config = DiffUTEConfig(train=train_cfg)
+        batch_size = args.train_batch_size * len(jax.devices())
+    if args.prediction_type:
+        config = dataclasses.replace(
+            config, scheduler=dataclasses.replace(
+                config.scheduler, prediction_type=args.prediction_type))
+    if args.gradient_checkpointing:
+        config = dataclasses.replace(
+            config, unet=dataclasses.replace(config.unet, remat=True))
+
+    if args.pretrained:
+        from diffute_tpu.serve.loading import load_diffusers_layout
+
+        params = load_diffusers_layout(args.pretrained, config)
+    else:
+        params = init_pipeline_params(config, seed=args.seed)
+
+    trainer = UNetTrainer(config, params["unet"],
+                          {"vae": params["vae"], "trocr": params["trocr"]},
+                          total_steps=max_steps)
+
+    start_step = 0
+    resume = resolve_resume(args.output_dir, args.resume_from_checkpoint)
+    if resume:
+        trainer.state = restore_checkpoint(resume, trainer.state)
+        start_step = int(trainer.state.step)
+        print(f"resumed from {resume} at step {start_step}")
+
+    if args.manifest:
+        dataset = UNetManifestDataset(args.manifest, config, seed=args.seed)
+    else:
+        dataset = SyntheticSceneDataset(config, seed=args.seed)
+    accum = args.gradient_accumulation_steps
+
+    def collate(ex):
+        b = make_unet_batch(ex, config)
+        if accum > 1:
+            b = {k: v.reshape((accum, v.shape[0] // accum) + v.shape[1:])
+                 for k, v in b.items()}
+        return b
+
+    loader = PrefetchLoader(dataset, batch_size * accum, collate,
+                            num_threads=max(1, args.dataloader_num_workers),
+                            seed=args.seed)
+
+    writer = MetricWriter(os.path.join(args.output_dir, args.logging_dir)
+                          if args.report_to == "tensorboard" else None)
+    timer = StepTimer()
+    key = jax.random.PRNGKey(args.seed)
+    step = start_step
+    for batch in loader:
+        if step >= max_steps:
+            break
+        key, sub = jax.random.split(key)
+        metrics = trainer.step(batch, sub)
+        timer.tick()
+        step = int(trainer.state.step)
+        writer.log(step, {"train_loss": metrics["loss"],
+                          "grad_norm": metrics["grad_norm"],
+                          "steps_per_sec": 1.0 / timer.mean if timer.mean else 0.0})
+        if step % args.checkpointing_steps == 0 or step >= max_steps:
+            path = save_checkpoint(args.output_dir, step, trainer.state,
+                                   args.checkpoints_total_limit)
+            export_diffusers_layout(
+                path,
+                unet_params=trainer.state.params,
+                unet_ema_params=(trainer.state.ema.params
+                                 if trainer.state.ema else None),
+                unet_config=diffusers_unet_config_json(config.unet))
+            print(f"saved {path}")
+    writer.close()
+    print(f"done at step {step}; final loss {float(metrics['loss']):.4f}")
+
+
+if __name__ == "__main__":
+    main()
