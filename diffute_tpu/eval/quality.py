@@ -1,0 +1,53 @@
+"""Image-quality metrics: SSIM and PSNR (numpy, no external deps).
+
+Used to score edit fidelity against reference outputs — the BASELINE.json
+acceptance bar is SSIM >= 0.99 vs the reference stack's edits.  SSIM follows
+Wang et al. 2004 with the standard 11x11 Gaussian window (sigma 1.5),
+matching skimage's `structural_similarity(..., gaussian_weights=True,
+use_sample_covariance=False)` configuration.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.ndimage import convolve
+
+
+def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> float:
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(data_range**2 / mse))
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    ax = np.arange(size) - size // 2
+    g = np.exp(-(ax**2) / (2 * sigma**2))
+    w = np.outer(g, g)
+    return w / w.sum()
+
+
+def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> float:
+    """Mean SSIM over channels (HWC or HW uint8/float arrays)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.ndim == 2:
+        a, b = a[..., None], b[..., None]
+    w = _gaussian_window()
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    vals = []
+    for ch in range(a.shape[-1]):
+        x, y = a[..., ch], b[..., ch]
+        mu_x = convolve(x, w, mode="reflect")
+        mu_y = convolve(y, w, mode="reflect")
+        mu_x2, mu_y2, mu_xy = mu_x**2, mu_y**2, mu_x * mu_y
+        sig_x = convolve(x * x, w, mode="reflect") - mu_x2
+        sig_y = convolve(y * y, w, mode="reflect") - mu_y2
+        sig_xy = convolve(x * y, w, mode="reflect") - mu_xy
+        num = (2 * mu_xy + c1) * (2 * sig_xy + c2)
+        den = (mu_x2 + mu_y2 + c1) * (sig_x + sig_y + c2)
+        vals.append(np.mean(num / den))
+    return float(np.mean(vals))

@@ -4,4 +4,5 @@ from diffute_tpu.parallel.mesh import (  # noqa: F401
     maybe_init_distributed,
     replicated_sharding,
     shard_batch,
+    zero1_shardings,
 )

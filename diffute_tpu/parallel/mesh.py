@@ -47,6 +47,24 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def zero1_shardings(tree: Any, mesh: Mesh) -> Any:
+    """ZeRO-1-style shardings for an optimizer-state pytree: each leaf is
+    sharded along its first axis divisible by the data-parallel size (Adam
+    moments mirror the params, so conv kernels shard on a channel dim);
+    leaves with no such axis stay replicated.  XLA then keeps the optimizer
+    update partitioned and all-gathers only the updated params."""
+    n = mesh.devices.size
+
+    def spec(x):
+        shape = getattr(x, "shape", ())
+        for i, d in enumerate(shape):
+            if d % n == 0 and d >= n:
+                return NamedSharding(mesh, P(*((None,) * i + ("data",))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
 def shard_batch(mesh: Mesh, batch: Any, batch_axis: int = 0) -> Any:
     """Place a host-global batch pytree onto the mesh, sharded along
     ``batch_axis`` (axis 1 for (accum, micro, ...) layouts)."""

@@ -64,12 +64,22 @@ class DiffUTEPipeline:
     params tree, importable from HF checkpoints via diffute_tpu.compat).
     """
 
-    def __init__(self, config: DiffUTEConfig, params: Dict[str, dict]):
+    def __init__(self, config: DiffUTEConfig, params: Dict[str, dict],
+                 mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis for
+        data-parallel batched inference — params are replicated, device batch
+        dims shard across the axis, and XLA derives the rest (BASELINE
+        config 5)."""
         self.config = config
         self.vae = AutoencoderKL(config.vae)
         self.unet = UNet2DCondition(config.unet)
         self.trocr = TrOCREncoder(config.trocr)
         self.schedule = make_schedule(config.scheduler)
+        self.mesh = mesh
+        if mesh is not None:
+            from diffute_tpu.parallel import replicated_sharding
+
+            params = jax.device_put(params, replicated_sharding(mesh))
         self.params = params
         self._compiled = {}
 
@@ -356,13 +366,21 @@ class DiffUTEPipeline:
                                         self.config.trocr)
         fn = self._get_compiled(steps, ec.sampler, ec.guidance_scale,
                                 ec.masked_latent_blend)
-        out = fn(
-            self.params,
-            jnp.asarray(np.stack([r["crop512"] for r in regions])),
-            jnp.asarray(np.stack([r["mask512"] for r in regions])),
-            jnp.asarray(np.stack([r["masked512"] for r in regions])),
-            jnp.asarray(glyph384),
-            jnp.asarray(null384),
-            jax.random.PRNGKey(seed),
+        inputs = (
+            np.stack([r["crop512"] for r in regions]),
+            np.stack([r["mask512"] for r in regions]),
+            np.stack([r["masked512"] for r in regions]),
+            glyph384,
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = self.mesh.devices.size
+            spec = P("data") if len(regions) % n_dev == 0 else P()
+            sh = NamedSharding(self.mesh, spec)
+            inputs = tuple(jax.device_put(np.asarray(x), sh) for x in inputs)
+        else:
+            inputs = tuple(jnp.asarray(x) for x in inputs)
+        out = fn(self.params, *inputs, jnp.asarray(null384),
+                 jax.random.PRNGKey(seed))
         return np.asarray(jax.device_get(out))

@@ -45,6 +45,7 @@ def _cast(tree, dtype):
 def make_unet_train_step(
     config: DiffUTEConfig,
     tx,
+    opt_shardings=None,
 ) -> Callable:
     """Build the jit-able train step.
 
@@ -125,6 +126,10 @@ def make_unet_train_step(
             loss, grads = grad_fn(state.params, frozen, batch, rng)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        if opt_shardings is not None:
+            # ZeRO-1: keep optimizer moments sharded over the data axis; XLA
+            # partitions the update math and all-gathers only the params.
+            new_opt = jax.lax.with_sharding_constraint(new_opt, opt_shardings)
         new_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates)
         new_ema = (ema_update(state.ema, new_params, config.train.ema_decay)
@@ -160,8 +165,16 @@ class UNetTrainer:
         self.state = TrainState.create(unet_params, self.tx,
                                        use_ema=config.train.use_ema)
         self.frozen = frozen_params
+        opt_shardings = None
+        if config.train.shard_optimizer_states:
+            from diffute_tpu.parallel import zero1_shardings
+
+            opt_shardings = zero1_shardings(self.state.opt_state, self.mesh)
+            self.state.opt_state = jax.device_put(self.state.opt_state,
+                                                  opt_shardings)
         self._step = jax.jit(
-            make_unet_train_step(config, self.tx), donate_argnums=(0,))
+            make_unet_train_step(config, self.tx, opt_shardings),
+            donate_argnums=(0,))
 
     def step(self, batch: Dict[str, np.ndarray], rng) -> Dict[str, float]:
         accum = self.config.train.gradient_accumulation_steps

@@ -1,0 +1,62 @@
+"""Eval subsystem: SSIM/PSNR metrics + OCR verifier plumbing."""
+
+import numpy as np
+import pytest
+
+from diffute_tpu.config import TrOCRConfig
+from diffute_tpu.eval import OCRVerifier, psnr, ssim
+from diffute_tpu.models import TrOCREncoder
+from diffute_tpu.models.trocr_decoder import TrOCRDecoder, TrOCRDecoderConfig
+
+
+def test_psnr_identity_and_noise():
+    a = np.random.RandomState(0).randint(0, 255, (64, 64, 3), np.uint8)
+    assert psnr(a, a) == float("inf")
+    noisy = np.clip(a.astype(int) + 10, 0, 255).astype(np.uint8)
+    assert 20 < psnr(a, noisy) < 40
+
+
+def test_ssim_bounds():
+    a = np.random.RandomState(0).randint(0, 255, (64, 64, 3), np.uint8)
+    assert ssim(a, a) == pytest.approx(1.0, abs=1e-9)
+    b = 255 - a
+    assert ssim(a, b) < 0.3
+    small = a.copy()
+    small[30:34, 30:34] = 0
+    assert 0.8 < ssim(a, small) < 1.0
+
+
+def test_ssim_against_skimage_if_available():
+    skimage = pytest.importorskip("skimage.metrics")
+    a = np.random.RandomState(1).randint(0, 255, (96, 96), np.uint8)
+    b = np.clip(a.astype(int) + np.random.RandomState(2).randint(-20, 20, a.shape),
+                0, 255).astype(np.uint8)
+    ours = ssim(a, b)
+    ref = skimage.structural_similarity(
+        a, b, gaussian_weights=True, sigma=1.5, use_sample_covariance=False,
+        data_range=255)
+    assert abs(ours - ref) < 0.01
+
+
+def test_ocr_verifier_reads_ids():
+    import jax
+    import jax.numpy as jnp
+
+    ecfg = TrOCRConfig(hidden_size=16, num_hidden_layers=1,
+                       num_attention_heads=2, intermediate_size=32,
+                       image_size=32, patch_size=16)
+    dcfg = TrOCRDecoderConfig(vocab_size=40, hidden_size=16, decoder_layers=1,
+                              decoder_attention_heads=2, decoder_ffn_dim=32,
+                              max_position_embeddings=32)
+    enc = TrOCREncoder(ecfg)
+    dec = TrOCRDecoder(dcfg)
+    ep = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    dp = dec.init(jax.random.PRNGKey(1), jnp.zeros((1, 4), jnp.int32),
+                  jnp.zeros((1, ecfg.seq_len, 16)))["params"]
+    v = OCRVerifier(ecfg, dcfg, ep, dp, max_len=6)
+    region = np.random.RandomState(0).randint(0, 255, (40, 120, 3), np.uint8)
+    ids = v.read([region, region])
+    assert ids.shape == (2, 6)
+    assert v.verify(region, "anything") is None  # no tokenizer available
+    with pytest.raises(ValueError):
+        v.read_text([region])

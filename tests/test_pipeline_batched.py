@@ -42,6 +42,30 @@ def test_edit_batch_images(pipe):
         assert (out != img).any()
 
 
+def test_edit_batch_data_parallel_mesh():
+    # BASELINE config 5 capability: batched inference sharded over the mesh.
+    import jax
+    from diffute_tpu.parallel import make_mesh
+    from diffute_tpu.utils import init_pipeline_params
+    from diffute_tpu.config import tiny_test_config
+
+    assert len(jax.devices()) == 8
+    cfg = tiny_test_config()
+    mesh = make_mesh(8)
+    p = DiffUTEPipeline(cfg, init_pipeline_params(cfg), mesh=mesh)
+    rng = np.random.RandomState(7)
+    items = [(rng.randint(0, 255, (150, 200, 3), np.uint8),
+              (30, 40, 120, 70), f"w{i}") for i in range(8)]
+    outs = p.edit_batch(items, num_inference_steps=2)
+    assert len(outs) == 8
+    for (img, box, _), out in zip(items, outs):
+        assert out.shape == img.shape
+        changed = (out != img).any(axis=-1)
+        assert changed.any()
+        ys, xs = np.where(changed)
+        assert xs.min() >= box[0] and xs.max() < box[2]
+
+
 def test_batch_matches_individual_shapes(pipe):
     # one compiled signature serves any batch size? no — each B compiles its
     # own program; just check both paths work and cache grows accordingly.

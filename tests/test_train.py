@@ -90,6 +90,23 @@ def test_unet_trainer_bf16(cfg, params):
     assert jax.tree_util.tree_leaves(trainer.state.params)[0].dtype == jnp.float32
 
 
+def test_unet_trainer_zero1_sharded_opt_state(cfg, params):
+    from jax.sharding import PartitionSpec as P
+
+    tc = dataclasses.replace(cfg.train, shard_optimizer_states=True)
+    c = dataclasses.replace(cfg, train=tc)
+    trainer = UNetTrainer(c, params["unet"],
+                          {"vae": params["vae"], "trocr": params["trocr"]},
+                          total_steps=10)
+    m = trainer.step(_unet_batch(cfg, 8), jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    # some adam moment leaf must actually be sharded over the data axis
+    specs = [x.sharding.spec for x in
+             jax.tree_util.tree_leaves(trainer.state.opt_state)
+             if hasattr(x, "sharding")]
+    assert any("data" in str(s) for s in specs), specs
+
+
 def test_vae_trainer_loss_decreases(cfg, params):
     trainer = VAETrainer(cfg, params["vae"], total_steps=50)
     res = cfg.edit.resolution
