@@ -40,8 +40,11 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--no-flash", action="store_true",
                    help="disable the Pallas flash-attention kernel")
-    p.add_argument("--no-fused-gn", action="store_true",
-                   help="disable the fused GroupNorm+SiLU kernel")
+    # Fused GN is opt-in: the ablation on v5e showed XLA's fused GroupNorm+
+    # SiLU beats the standalone Pallas kernel end-to-end (1.286 vs 0.794
+    # img/s) because the pallas_call is a fusion barrier for XLA.
+    p.add_argument("--fused-gn", action="store_true",
+                   help="enable the fused GroupNorm+SiLU Pallas kernel")
     args = p.parse_args()
 
     jax.config.update("jax_default_prng_impl", "rbg")
@@ -62,7 +65,7 @@ def main() -> None:
             vae=VAEConfig(dtype=dtype),
             unet=UNetConfig(dtype=dtype,
                             use_flash_attention=use_pallas and not args.no_flash,
-                            use_fused_groupnorm=use_pallas and not args.no_fused_gn),
+                            use_fused_groupnorm=use_pallas and args.fused_gn),
             trocr=TrOCRConfig(dtype=dtype),
             edit=EditConfig(resolution=args.res, sampler=args.sampler,
                             num_inference_steps=args.steps),

@@ -1,0 +1,190 @@
+"""Measure the five BASELINE.json benchmark configs; write benchmarks/results.json.
+
+  1. SD2 VAE encode->decode roundtrip, one 512x512 image (fp32, CPU)
+  2. Glyph render + OCR-box mask + TrOCR feature extraction, single region
+  3. Full edit: SD2-inpaint UNet, 50-step DDIM, one region, 512^2
+  4. Batched multi-region editing (4 regions/image, batch 8 images) with
+     masked-latent blending + CFG
+  5. High-res 768/1024 edits, bf16 (single chip; DP across a v5e-8 mesh is
+     exercised on the virtual mesh in tests — no pod attached here)
+
+Run: python benchmarks/run_all.py [--skip 1,4] [--steps 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_default_prng_impl", "rbg")
+
+from diffute_tpu.config import (  # noqa: E402
+    DiffUTEConfig, EditConfig, TrOCRConfig, UNetConfig, VAEConfig,
+)
+from diffute_tpu.utils import init_pipeline_params  # noqa: E402
+from diffute_tpu.utils.benchmark import time_fn  # noqa: E402
+
+RESULTS = os.path.join(os.path.dirname(__file__), "results.json")
+
+
+def _full_cfg(res=512, steps=50, sampler="ddim", dtype=jnp.bfloat16,
+              cfg_scale=1.0, blend=False):
+    return DiffUTEConfig(
+        vae=VAEConfig(dtype=dtype),
+        unet=UNetConfig(dtype=dtype, use_flash_attention=True),
+        trocr=TrOCRConfig(dtype=dtype),
+        edit=EditConfig(resolution=res, sampler=sampler,
+                        num_inference_steps=steps, guidance_scale=cfg_scale,
+                        masked_latent_blend=blend),
+    )
+
+
+def bench_vae_roundtrip_cpu():
+    from diffute_tpu.models import AutoencoderKL
+    from diffute_tpu.models.vae import sample_latent
+
+    cfg = VAEConfig()  # fp32
+    vae = AutoencoderKL(cfg)
+    cpu = jax.devices("cpu")[0]
+    x = jnp.zeros((1, 512, 512, 3))
+    with jax.default_device(cpu):
+        params = jax.jit(vae.init)(jax.random.PRNGKey(0), x,
+                                   jax.random.PRNGKey(1))
+
+        @jax.jit
+        def roundtrip(p, x, k):
+            mean, logvar = vae.apply(p, x, method=vae.encode)
+            z = sample_latent(mean, logvar, k)
+            return vae.apply(p, z, method=vae.decode)
+
+        t = time_fn(lambda: roundtrip(params, x, jax.random.PRNGKey(2)),
+                    repeats=3)
+    return {"seconds": t, "unit": "s/roundtrip (512^2 fp32 CPU)"}
+
+
+def bench_glyph_trocr():
+    from diffute_tpu.models import TrOCREncoder
+    from diffute_tpu.pipeline.regions import generate_mask, process_location
+    from diffute_tpu.text import render_glyph, trocr_normalize, trocr_preprocess_host
+    from diffute_tpu.text.glyph import _render_cached
+
+    tcfg = TrOCRConfig(dtype=jnp.bfloat16)
+    trocr = TrOCREncoder(tcfg)
+    params = jax.jit(trocr.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 384, 384, 3)))["params"]
+    enc = jax.jit(lambda p, g: trocr.apply({"params": p}, trocr_normalize(g)))
+
+    def one_region(text="Hello TPU"):
+        _render_cached.cache_clear()
+        glyph = render_glyph(text)
+        box = process_location([100, 100, 400, 140], (768, 1024))
+        mask = generate_mask((768, 1024), box)
+        g = trocr_preprocess_host([glyph], tcfg)
+        feats = enc(params, jnp.asarray(g))
+        return jax.device_get(feats), mask
+
+    one_region()  # compile
+    t0 = time.perf_counter()
+    n = 10
+    for i in range(n):
+        one_region(f"Hello TPU {i}")
+    t = (time.perf_counter() - t0) / n
+    return {"seconds": t, "unit": "s/region (render+mask+TrOCR 577x1024 feats)"}
+
+
+def bench_full_edit(res, steps, sampler="ddim", cfg_scale=1.0, blend=False,
+                    repeats=3):
+    from diffute_tpu.pipeline import DiffUTEPipeline
+
+    cfg = _full_cfg(res=res, steps=steps, sampler=sampler,
+                    cfg_scale=cfg_scale, blend=blend)
+    params = init_pipeline_params(cfg)
+    jax.block_until_ready(params)
+    pipe = DiffUTEPipeline(cfg, params)
+    img = np.random.RandomState(0).randint(
+        0, 255, (int(res * 1.5), res * 2, 3), np.uint8)
+    box = (res * 2 // 3, res // 2, res * 2 // 3 + res // 4, res // 2 + res // 12)
+    pipe.edit(img, box, "WARMUP", num_inference_steps=steps)
+    t0 = time.perf_counter()
+    for i in range(repeats):
+        pipe.edit(img, box, f"BENCH {i}", num_inference_steps=steps)
+    t = (time.perf_counter() - t0) / repeats
+    return {"seconds": t, "images_per_sec": 1.0 / t}
+
+
+def bench_batched_multiregion(steps=50, n_images=8, n_regions=4):
+    from diffute_tpu.pipeline import DiffUTEPipeline
+
+    cfg = _full_cfg(steps=steps, cfg_scale=3.0, blend=True)
+    params = init_pipeline_params(cfg)
+    jax.block_until_ready(params)
+    pipe = DiffUTEPipeline(cfg, params)
+    rng = np.random.RandomState(0)
+    imgs = [rng.randint(0, 255, (768, 1024, 3), np.uint8)
+            for _ in range(n_images)]
+    regions = [((60 + 220 * r, 80, 220 + 220 * r, 120), f"w{r}")
+               for r in range(n_regions)]
+
+    def run():
+        # 8 images x 4 regions each; each image's regions batched in one pass
+        return [pipe.edit_multi(im, regions, num_inference_steps=steps)
+                for im in imgs]
+
+    run()  # compile
+    t0 = time.perf_counter()
+    run()
+    t = time.perf_counter() - t0
+    total = n_images * n_regions
+    return {"seconds": t, "regions_per_sec": total / t,
+            "config": f"{n_images} images x {n_regions} regions, CFG 3.0 + blend"}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--skip", default="", help="comma-sep config ids to skip")
+    p.add_argument("--steps", type=int, default=50)
+    args = p.parse_args()
+    skip = {s for s in args.skip.split(",") if s}
+
+    results = {}
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            results = json.load(f)
+
+    def record(key, fn):
+        print(f"[{key}] running...", flush=True)
+        t0 = time.perf_counter()
+        results[key] = fn()
+        results[key]["wall_including_compile_s"] = round(
+            time.perf_counter() - t0, 1)
+        with open(RESULTS, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"[{key}] {results[key]}", flush=True)
+
+    if "1" not in skip:
+        record("1_vae_roundtrip_cpu_fp32", bench_vae_roundtrip_cpu)
+    if "2" not in skip:
+        record("2_glyph_mask_trocr", bench_glyph_trocr)
+    if "3" not in skip:
+        record("3_full_edit_512_50step",
+               lambda: bench_full_edit(512, args.steps))
+    if "4" not in skip:
+        record("4_batched_multiregion_cfg_blend",
+               lambda: bench_batched_multiregion(steps=args.steps))
+    if "5" not in skip:
+        record("5a_edit_768_bf16", lambda: bench_full_edit(768, args.steps))
+        record("5b_edit_1024_bf16", lambda: bench_full_edit(1024, args.steps))
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -182,6 +182,10 @@ class OptimizerConfig:
     lr_scheduler: str = "constant"  # {constant, constant_with_warmup, linear, cosine, polynomial}
     lr_warmup_steps: int = 500
     scale_lr: bool = False
+    # Low-memory Adam moments — the TPU-native counterpart of the reference's
+    # optional bitsandbytes AdamW8bit (train_diffute_v1.py:244-248,709-719):
+    # stores the first moment in bfloat16 (optax mu_dtype).
+    low_memory_adam: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -50,8 +50,19 @@ def build_lr_schedule(config: OptimizerConfig, total_steps: int) -> optax.Schedu
     raise ValueError(f"Unknown lr_scheduler: {name}")
 
 
-def build_optimizer(config: OptimizerConfig, total_steps: int) -> optax.GradientTransformation:
+def build_optimizer(config: OptimizerConfig, total_steps: int,
+                    total_batch_size: int = 1) -> optax.GradientTransformation:
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    if config.scale_lr:
+        # reference --scale_lr: lr *= grad_accum * batch * world
+        # (train_diffute_v1.py:704-707)
+        config = dataclasses.replace(
+            config, learning_rate=config.learning_rate * total_batch_size)
     schedule = build_lr_schedule(config, total_steps)
+
     return optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
         optax.adamw(
@@ -60,5 +71,8 @@ def build_optimizer(config: OptimizerConfig, total_steps: int) -> optax.Gradient
             b2=config.adam_beta2,
             eps=config.adam_epsilon,
             weight_decay=config.adam_weight_decay,
+            # bf16 first moment: the TPU counterpart of bnb AdamW8bit
+            # (reference train_diffute_v1.py:244-248)
+            mu_dtype=jnp.bfloat16 if config.low_memory_adam else None,
         ),
     )

@@ -31,7 +31,12 @@ def parse_args():
     p.add_argument("--lr_scheduler", default="constant")
     p.add_argument("--lr_warmup_steps", type=int, default=500)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--scale_lr", action="store_true")
+    p.add_argument("--use_8bit_adam", action="store_true",
+                   help="low-memory Adam moments (bf16 mu, TPU analogue)")
     p.add_argument("--mixed_precision", default="no", choices=["no", "bf16"])
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace for N steps")
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--gradient_checkpointing", action="store_true")
     p.add_argument("--checkpointing_steps", type=int, default=1000)
@@ -95,6 +100,8 @@ def main():
             lr_scheduler=args.lr_scheduler,
             lr_warmup_steps=args.lr_warmup_steps,
             max_grad_norm=args.max_grad_norm,
+            scale_lr=args.scale_lr,
+            low_memory_adam=args.use_8bit_adam,
         ),
     )
 
@@ -152,9 +159,16 @@ def main():
     timer = StepTimer()
     key = jax.random.PRNGKey(args.seed)
     step = start_step
+    profiling = False
     for batch in loader:
         if step >= max_steps:
             break
+        if args.profile_steps and step == start_step + 1 and not profiling:
+            jax.profiler.start_trace(os.path.join(args.output_dir, "trace"))
+            profiling = True
+        if profiling and step >= start_step + 1 + args.profile_steps:
+            jax.profiler.stop_trace()
+            profiling = False
         key, sub = jax.random.split(key)
         metrics = trainer.step(batch, sub)
         timer.tick()
@@ -172,6 +186,8 @@ def main():
                                  if trainer.state.ema else None),
                 unet_config=diffusers_unet_config_json(config.unet))
             print(f"saved {path}")
+    if profiling:
+        jax.profiler.stop_trace()
     writer.close()
     print(f"done at step {step}; final loss {float(metrics['loss']):.4f}")
 

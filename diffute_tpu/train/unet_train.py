@@ -161,7 +161,9 @@ class UNetTrainer:
         self.config = config
         self.mesh = mesh or make_mesh(config.train.dp_size)
         total = total_steps or config.train.max_train_steps or 10_000
-        self.tx = build_optimizer(config.train.optimizer, total)
+        tbs = (config.train.train_batch_size * self.mesh.devices.size
+               * config.train.gradient_accumulation_steps)
+        self.tx = build_optimizer(config.train.optimizer, total, tbs)
         self.state = TrainState.create(unet_params, self.tx,
                                        use_ema=config.train.use_ema)
         self.frozen = frozen_params

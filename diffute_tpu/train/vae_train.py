@@ -58,7 +58,8 @@ class VAETrainer:
         self.config = config
         self.mesh = mesh or make_mesh(config.train.dp_size)
         total = total_steps or config.train.max_train_steps or 10_000
-        self.tx = build_optimizer(config.train.optimizer, total)
+        tbs = config.train.train_batch_size * self.mesh.devices.size
+        self.tx = build_optimizer(config.train.optimizer, total, tbs)
         self.state = TrainState.create(vae_params, self.tx,
                                        use_ema=config.train.use_ema)
         self._step = jax.jit(make_vae_train_step(config, self.tx),

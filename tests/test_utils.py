@@ -1,0 +1,54 @@
+"""utils: image conversions (reference R18), optimizer options."""
+
+import numpy as np
+
+from diffute_tpu.config import OptimizerConfig
+from diffute_tpu.train.optim import build_lr_schedule, build_optimizer
+from diffute_tpu.utils.images import image_to_tensor, numpy_to_pil, tensor_to_image
+
+
+def test_image_tensor_roundtrip():
+    img = np.random.RandomState(0).randint(0, 255, (16, 16, 3), np.uint8)
+    t = image_to_tensor(img)
+    assert t.min() >= -1 and t.max() <= 1
+    back = tensor_to_image(t)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_numpy_to_pil():
+    imgs = np.random.RandomState(0).rand(2, 8, 8, 3).astype(np.float32)
+    pils = numpy_to_pil(imgs)
+    assert len(pils) == 2 and pils[0].size == (8, 8)
+    gray = numpy_to_pil(np.zeros((8, 8, 1), np.uint8))
+    assert gray[0].mode == "L"
+
+
+def test_lr_schedules():
+    for name in ["constant", "constant_with_warmup", "linear", "cosine",
+                 "cosine_with_restarts", "polynomial"]:
+        sched = build_lr_schedule(
+            OptimizerConfig(lr_scheduler=name, lr_warmup_steps=10), 100)
+        v0, vmid, vend = float(sched(0)), float(sched(50)), float(sched(99))
+        assert v0 >= 0 and vmid >= 0 and vend >= 0
+        if name != "constant":
+            assert v0 < 1e-4 + 1e-9  # warmup starts near 0
+        if name in ("linear", "cosine", "polynomial"):
+            assert vend < vmid
+
+
+def test_scale_lr_and_low_memory_adam():
+    import jax
+    import jax.numpy as jnp
+
+    cfg = OptimizerConfig(scale_lr=True, low_memory_adam=True,
+                          learning_rate=1e-4)
+    tx = build_optimizer(cfg, 100, total_batch_size=64)
+    params = {"w": jnp.ones((4, 4))}
+    state = tx.init(params)
+    grads = {"w": jnp.ones((4, 4))}
+    updates, _ = tx.update(grads, state, params)
+    # scaled lr 1e-4*64: first adam step magnitude ~ lr
+    assert abs(float(updates["w"][0, 0])) > 1e-4
+    mu_leaves = [x for x in jax.tree_util.tree_leaves(state)
+                 if hasattr(x, "dtype") and x.dtype == jnp.bfloat16]
+    assert mu_leaves, "expected bf16 first-moment state"
