@@ -8,4 +8,4 @@ from diffute_tpu.pipeline.crop import (  # noqa: F401
     train_crop,
     paste_back,
 )
-from diffute_tpu.pipeline.edit import DiffUTEPipeline  # noqa: F401
+from diffute_tpu.pipeline.edit import DiffUTEPipeline, text_editing  # noqa: F401

@@ -384,3 +384,15 @@ class DiffUTEPipeline:
         out = fn(self.params, *inputs, jnp.asarray(null384),
                  jax.random.PRNGKey(seed))
         return np.asarray(jax.device_get(out))
+
+
+def text_editing(pipe: DiffUTEPipeline, text: str, instance_image: np.ndarray,
+                 slider_step: int, x0: int, y0: int, x1: int, y1: int):
+    """Signature-compatible wrapper of the reference's
+    ``text_editing(text, instance_image, slider_step, x0, y0, x1, y1)
+    -> (PIL.Image, mask*255)`` (app.ipynb:653,854), for drop-in callers."""
+    from PIL import Image
+
+    out, mask = pipe.edit(instance_image, (x0, y0, x1, y1), text,
+                          num_inference_steps=int(slider_step))
+    return Image.fromarray(out).convert("RGB"), mask
