@@ -215,6 +215,7 @@ class PrefetchLoader:
         n = len(self.dataset)
         indices = iter(lambda: int(rng.integers(n)), None)
         lock = threading.Lock()
+        self.error_count = 0
 
         def worker():
             while not stop.is_set():
@@ -222,7 +223,12 @@ class PrefetchLoader:
                     idx = [next(indices) for _ in range(self.batch_size)]
                 try:
                     batch = self.collate([self.dataset[i] for i in idx])
-                except Exception:  # skip-on-decode-error (SURVEY.md §5.3)
+                except Exception as e:  # skip-on-decode-error (SURVEY.md §5.3)
+                    self.error_count += 1
+                    if self.error_count in (1, 10, 100) or self.error_count % 1000 == 0:
+                        print(f"[data] skipped batch after error "
+                              f"#{self.error_count}: {type(e).__name__}: {e}",
+                              flush=True)
                     continue
                 q.put(batch)
 

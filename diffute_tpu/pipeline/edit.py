@@ -57,6 +57,25 @@ def normalize_image(x_uint8: jax.Array) -> jax.Array:
     return (x_uint8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
 
 
+def _validate_box(box, image_hw) -> Tuple[int, int, int, int]:
+    """Clip the region box to the image; reject degenerate boxes with a clear
+    error (the reference crashes deep inside the crop policy instead)."""
+    h, w = image_hw
+    if len(box) != 4:
+        raise ValueError(f"box must be (x1, y1, x2, y2); got {box!r}")
+    x1, y1, x2, y2 = (int(v) for v in box)
+    if x1 > x2:
+        x1, x2 = x2, x1
+    if y1 > y2:
+        y1, y2 = y2, y1
+    x1, x2 = max(0, x1), min(w, x2)
+    y1, y2 = max(0, y1), min(h, y2)
+    if x2 - x1 < 1 or y2 - y1 < 1:
+        raise ValueError(
+            f"box {box!r} has no area inside the {w}x{h} image after clipping")
+    return x1, y1, x2, y2
+
+
 class DiffUTEPipeline:
     """Holds frozen model params and compiles the device edit program.
 
@@ -271,6 +290,7 @@ class DiffUTEPipeline:
         res = ec.resolution
 
         image = np.asarray(image, dtype=np.uint8)
+        box = _validate_box(box, image.shape[:2])
         region, mask = self._prepare_region(image, box, text, res, rng)
         edited = self._run_device([region], steps, ec, seed)[0]
         result = paste_back(image, edited, region["x_s"], region["y_s"],
@@ -294,7 +314,9 @@ class DiffUTEPipeline:
         res = ec.resolution
 
         image = np.asarray(image, dtype=np.uint8)
-        prepped = [self._prepare_region(image, box, text, res, rng)[0]
+        prepped = [self._prepare_region(
+                       image, _validate_box(box, image.shape[:2]), text, res,
+                       rng)[0]
                    for box, text in regions]
         edited = self._run_device(prepped, steps, ec, seed)
         result = image
@@ -323,7 +345,8 @@ class DiffUTEPipeline:
         for image, box, text in items:
             image = np.asarray(image, dtype=np.uint8)
             images.append(image)
-            prepped.append(self._prepare_region(image, box, text, res, rng)[0])
+            prepped.append(self._prepare_region(
+                image, _validate_box(box, image.shape[:2]), text, res, rng)[0])
         edited = self._run_device(prepped, steps, ec, seed)
         return [paste_back(img, e, r["x_s"], r["y_s"], r["crop_scale"],
                            r["location"])
@@ -362,12 +385,17 @@ class DiffUTEPipeline:
     def _run_device(self, regions, steps, ec, seed) -> np.ndarray:
         glyph384 = trocr_preprocess_host([r["glyph"] for r in regions],
                                          self.config.trocr)
-        null384 = trocr_preprocess_host([render_glyph("", self.config.glyph)],
-                                        self.config.trocr)
-        fn = self._get_compiled(steps, ec.sampler, ec.guidance_scale,
-                                ec.masked_latent_blend)
+        use_cfg = ec.guidance_scale > 1.0
+        blend = ec.masked_latent_blend
+        # Inputs that the (blend/cfg)-specialized program never reads are
+        # replaced by 1-pixel dummies — no point shipping them over the wire.
+        dummy = np.zeros((1, 1, 1, 3), np.uint8)
+        null384 = (trocr_preprocess_host([render_glyph("", self.config.glyph)],
+                                         self.config.trocr)
+                   if use_cfg else dummy)
+        fn = self._get_compiled(steps, ec.sampler, ec.guidance_scale, blend)
         inputs = (
-            np.stack([r["crop512"] for r in regions]),
+            np.stack([r["crop512"] for r in regions]) if blend else dummy,
             np.stack([r["mask512"] for r in regions]),
             np.stack([r["masked512"] for r in regions]),
             glyph384,
@@ -376,9 +404,13 @@ class DiffUTEPipeline:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             n_dev = self.mesh.devices.size
-            spec = P("data") if len(regions) % n_dev == 0 else P()
-            sh = NamedSharding(self.mesh, spec)
-            inputs = tuple(jax.device_put(np.asarray(x), sh) for x in inputs)
+
+            def put(x):
+                x = np.asarray(x)
+                spec = P("data") if x.shape[0] % n_dev == 0 else P()
+                return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+            inputs = tuple(put(x) for x in inputs)
         else:
             inputs = tuple(jnp.asarray(x) for x in inputs)
         out = fn(self.params, *inputs, jnp.asarray(null384),

@@ -84,6 +84,34 @@ def test_edit_cfg_and_blend_opt_in(pipe, scene):
     assert changed.any()
 
 
+def test_edit_box_edge_cases(pipe):
+    img = np.random.RandomState(3).randint(0, 255, (120, 160, 3), np.uint8)
+    # partially out-of-bounds box gets clipped and works
+    out, _ = pipe.edit(img, (-20, 100, 60, 300), "x", num_inference_steps=2)
+    assert out.shape == img.shape
+    # swapped corners are normalized (two-click UIs produce these)
+    out, _ = pipe.edit(img, (100, 70, 40, 50), "x", num_inference_steps=2)
+    assert out.shape == img.shape
+    # whole-image box
+    out, _ = pipe.edit(img, (0, 0, 160, 120), "x", num_inference_steps=2)
+    assert out.shape == img.shape
+    # degenerate boxes raise clearly
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pipe.edit(img, (50, 50, 50, 60), "x", num_inference_steps=2)
+    with _pytest.raises(ValueError):
+        pipe.edit(img, (500, 500, 600, 600), "x", num_inference_steps=2)
+    with _pytest.raises(ValueError):
+        pipe.edit(img, (1, 2, 3), "x", num_inference_steps=2)
+
+
+def test_edit_unicode_text(pipe, scene):
+    img, box = scene
+    # text outside the fallback font's coverage must not crash the pipeline
+    out, _ = pipe.edit(img, box, "héllo • 123", num_inference_steps=2)
+    assert out.shape == img.shape
+
+
 def test_compiled_cache_reused(pipe, scene):
     img, box = scene
     pipe.edit(img, box, "one", num_inference_steps=2)
