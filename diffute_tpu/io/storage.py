@@ -30,7 +30,12 @@ def open_blob(path: str) -> BinaryIO:
             return open(path.split("://", 1)[1], "rb")
         if scheme in _OPENERS:
             return _OPENERS[scheme](path)
-        raise ValueError(f"No opener registered for scheme {scheme!r}")
+        try:  # generic fallback: fsspec handles gs://, s3://, http(s)://, ...
+            import fsspec
+
+            return fsspec.open(path, "rb").open()
+        except ImportError:
+            raise ValueError(f"No opener registered for scheme {scheme!r}")
     return open(path, "rb")
 
 

@@ -21,6 +21,10 @@ def main() -> None:
     p.add_argument("--text", required=True)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--sampler", default="ddim", choices=["ddim", "ddpm"])
+    p.add_argument("--guidance_scale", type=float, default=1.0,
+                   help="classifier-free guidance (<=1 reproduces reference)")
+    p.add_argument("--blend", action="store_true",
+                   help="masked-latent blending each step (opt-in)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="edited.png")
     p.add_argument("--mask-out", default=None)
@@ -40,7 +44,10 @@ def main() -> None:
 
     config = tiny_test_config() if args.tiny else DiffUTEConfig()
     config = dataclasses.replace(
-        config, edit=dataclasses.replace(config.edit, sampler=args.sampler))
+        config, edit=dataclasses.replace(
+            config.edit, sampler=args.sampler,
+            guidance_scale=args.guidance_scale,
+            masked_latent_blend=args.blend))
     if args.checkpoint:
         from diffute_tpu.serve.loading import load_diffusers_layout
 
