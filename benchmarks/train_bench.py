@@ -1,0 +1,88 @@
+"""Training-throughput benchmark: full-size stage-2 step on one chip.
+
+Trains the real 866M-param SD2-inpaint UNet (frozen VAE + TrOCR in the same
+jit step) with bf16 compute, remat, flash attention, and bf16 Adam moments —
+the configuration that fits one 16GB v5e chip.
+
+Run: python benchmarks/train_bench.py [--batch 4] [--res 512] [--no-remat]
+Prints one JSON line: {"metric": ..., "value": imgs/sec/chip, ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_default_prng_impl", "rbg")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from diffute_tpu.config import (  # noqa: E402
+    DiffUTEConfig, OptimizerConfig, TrainConfig, TrOCRConfig, UNetConfig,
+    VAEConfig,
+)
+from diffute_tpu.train import UNetTrainer  # noqa: E402
+from diffute_tpu.utils import init_pipeline_params  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--res", type=int, default=512)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--optimizer", default="adafactor",
+                   choices=["adamw", "adafactor"],
+                   help="adafactor fits the 866M UNet on one 16GB chip; "
+                        "adamw (reference parity) needs more HBM")
+    args = p.parse_args()
+
+    cfg = DiffUTEConfig(
+        vae=VAEConfig(dtype=jnp.bfloat16),
+        unet=UNetConfig(dtype=jnp.bfloat16, use_flash_attention=True,
+                        remat=not args.no_remat),
+        trocr=TrOCRConfig(dtype=jnp.bfloat16),
+        train=TrainConfig(train_batch_size=args.batch, mixed_precision="bf16",
+                          optimizer=OptimizerConfig(name=args.optimizer,
+                                                    low_memory_adam=True)),
+    )
+    params = init_pipeline_params(cfg)
+    jax.block_until_ready(params)
+    trainer = UNetTrainer(cfg, params["unet"],
+                          {"vae": params["vae"], "trocr": params["trocr"]},
+                          total_steps=100)
+    rng = np.random.RandomState(0)
+    B, res, g = args.batch, args.res, cfg.trocr.image_size
+    batch = {
+        "pixel_values": rng.randn(B, res, res, 3).astype(np.float32).clip(-1, 1),
+        "masks": (rng.rand(B, res, res) > 0.9).astype(np.float32),
+        "masked_images": rng.randn(B, res, res, 3).astype(np.float32).clip(-1, 1),
+        "glyph_pixels": rng.randint(0, 255, (B, g, g, 3), dtype=np.uint8),
+    }
+    m = trainer.step(batch, jax.random.PRNGKey(0))
+    float(jax.device_get(m["loss"]))  # force first (compile) step
+    t0 = time.time()
+    for i in range(args.iters):
+        m = trainer.step(batch, jax.random.PRNGKey(i + 1))
+    float(jax.device_get(m["loss"]))
+    dt = (time.time() - t0) / args.iters
+    print(json.dumps({
+        "metric": f"train images/sec/chip (stage-2, {res}^2, bf16, "
+                  f"{args.optimizer}, remat={not args.no_remat}, batch {B})",
+        "value": round(B / dt, 3),
+        "unit": "images/sec/chip",
+        "step_seconds": round(dt, 4),
+        "loss": round(float(jax.device_get(m["loss"])), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -171,8 +171,14 @@ class EditConfig:
 
 @dataclasses.dataclass(frozen=True)
 class OptimizerConfig:
-    """AdamW + LR schedule (reference train_diffute_v1.py:709-727, 772-777)."""
+    """Optimizer + LR schedule (reference train_diffute_v1.py:709-727, 772-777).
 
+    ``name="adamw"`` is the reference-parity default; ``"adafactor"``
+    (factored second moment, no per-param v) is the memory option that lets
+    the full 866M UNet train on a single 16GB v5e chip.
+    """
+
+    name: str = "adamw"  # {adamw, adafactor}
     learning_rate: float = 1e-4
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999

@@ -63,9 +63,15 @@ def build_optimizer(config: OptimizerConfig, total_steps: int,
             config, learning_rate=config.learning_rate * total_batch_size)
     schedule = build_lr_schedule(config, total_steps)
 
-    return optax.chain(
-        optax.clip_by_global_norm(config.max_grad_norm),
-        optax.adamw(
+    if config.name == "adafactor":
+        opt = optax.adafactor(
+            learning_rate=schedule,
+            multiply_by_parameter_scale=False,
+            clipping_threshold=1.0,
+            weight_decay_rate=config.adam_weight_decay,
+        )
+    elif config.name == "adamw":
+        opt = optax.adamw(
             learning_rate=schedule,
             b1=config.adam_beta1,
             b2=config.adam_beta2,
@@ -74,5 +80,8 @@ def build_optimizer(config: OptimizerConfig, total_steps: int,
             # bf16 first moment: the TPU counterpart of bnb AdamW8bit
             # (reference train_diffute_v1.py:244-248)
             mu_dtype=jnp.bfloat16 if config.low_memory_adam else None,
-        ),
-    )
+        )
+    else:
+        raise ValueError(f"Unknown optimizer: {config.name}")
+
+    return optax.chain(optax.clip_by_global_norm(config.max_grad_norm), opt)

@@ -32,6 +32,10 @@ def parse_args():
     p.add_argument("--lr_warmup_steps", type=int, default=500)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--scale_lr", action="store_true")
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["adamw", "adafactor"],
+                   help="adafactor = factored second moment; fits the full "
+                        "UNet on a single 16GB chip")
     p.add_argument("--use_8bit_adam", action="store_true",
                    help="low-memory Adam moments (bf16 mu, TPU analogue)")
     p.add_argument("--mixed_precision", default="no", choices=["no", "bf16"])
@@ -96,6 +100,7 @@ def main():
         prediction_type=args.prediction_type,
         dataloader_num_workers=args.dataloader_num_workers,
         optimizer=OptimizerConfig(
+            name=args.optimizer,
             learning_rate=args.learning_rate,
             lr_scheduler=args.lr_scheduler,
             lr_warmup_steps=args.lr_warmup_steps,

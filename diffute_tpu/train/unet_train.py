@@ -73,6 +73,8 @@ def make_unet_train_step(
         kv, km, kn, kt, ko = jax.random.split(rng, 5)
         compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
         u_params = _cast(unet_params, compute_dtype) if bf16 else unet_params
+        # frozen models are stored in the compute dtype by the trainer, so
+        # these casts are no-ops there (saves an HBM copy per step)
         v_params = _cast(frozen["vae"], compute_dtype) if bf16 else frozen["vae"]
         t_params = _cast(frozen["trocr"], compute_dtype) if bf16 else frozen["trocr"]
 
@@ -166,6 +168,10 @@ class UNetTrainer:
         self.tx = build_optimizer(config.train.optimizer, total, tbs)
         self.state = TrainState.create(unet_params, self.tx,
                                        use_ema=config.train.use_ema)
+        if config.train.mixed_precision == "bf16":
+            # frozen VAE/TrOCR live in bf16 (the reference casts them to the
+            # half dtype too, train_diffute_v1.py:789-797); halves their HBM
+            frozen_params = _cast(frozen_params, jnp.bfloat16)
         self.frozen = frozen_params
         opt_shardings = None
         if config.train.shard_optimizer_states:
