@@ -163,6 +163,11 @@ class EditConfig:
     # (opt-in; the reference carries the constraint purely through the
     # 9-channel conditioning — SURVEY.md §3.3).
     masked_latent_blend: bool = False
+    # Encoder propagation (Faster Diffusion, arXiv:2312.09608): run the UNet
+    # encoder only every k-th step and reuse its features on the others,
+    # cutting ~35% of UNet FLOPs per reused step.  1 = off (exact sampling);
+    # experimental — quality impact must be validated with real weights.
+    encoder_reuse_interval: int = 1
     seed: int = 0  # reference seeds initial latents with torch.manual_seed(0)
     # Train-time crop window (reference crop_scale=256, train_diffute_v1.py:457)
     train_crop_scale: int = 256

@@ -10,16 +10,22 @@ Topology = SD2-inpainting `unet/config.json`: block_out_channels
 resolutions, heads (5,10,20,20) -> uniform head_dim 64, linear transformer
 projections, GroupNorm(32, eps 1e-5), SiLU.
 
-TPU-first choices: NHWC layout, a single `__call__` usable under `jit`/`pjit`
-with static shapes, optional `nn.remat` over transformer+resnet pairs for
-training memory, and attention routed through the Pallas flash kernel when
-``config.use_flash_attention`` is set.
+TPU-first choices: NHWC layout, static shapes under `jit`/`pjit`, optional
+`nn.remat`, Pallas flash attention via ``config.use_flash_attention``.
+
+The forward is split into :meth:`encode` (conv_in + down path) and
+:meth:`decode` (mid + up path + head) so samplers can cache and propagate
+encoder features across adjacent timesteps — the "encoder propagation"
+acceleration of Faster Diffusion (Li et al., arXiv:2312.09608; see
+PAPERS.md): E(z_t) changes little between neighbouring t, so non-key steps
+re-run only the decoder.  ``__call__`` composes both and is the exact
+standard UNet forward.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import List, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -40,110 +46,156 @@ from diffute_tpu.models.layers import (
 class UNet2DCondition(nn.Module):
     config: UNetConfig = UNetConfig()
 
-    @nn.compact
-    def __call__(
-        self,
-        sample: jax.Array,          # (B, H, W, 9)
-        timesteps: jax.Array,       # () or (B,)
-        encoder_hidden_states: jax.Array,  # (B, 577, 1024)
-    ) -> jax.Array:                 # (B, H, W, 4)
+    def setup(self):
         cfg = self.config
         ch0 = cfg.block_out_channels[0]
-        time_embed_dim = ch0 * 4
+        n_blocks = len(cfg.block_out_channels)
 
-        resnet = functools.partial(ResnetBlock2D,
-                                   fused_gn=cfg.use_fused_groupnorm)
+        resnet = ResnetBlock2D
         transformer = Transformer2D
         if cfg.remat:
-            resnet = functools.partial(nn.remat(ResnetBlock2D),
-                                       fused_gn=cfg.use_fused_groupnorm)
+            resnet = nn.remat(ResnetBlock2D)
             transformer = nn.remat(Transformer2D)
+        resnet = functools.partial(resnet, groups=cfg.norm_num_groups,
+                                   dtype=cfg.dtype,
+                                   fused_gn=cfg.use_fused_groupnorm)
 
-        # --- time embedding ---
-        t_emb = timestep_embedding(
-            timesteps, ch0, flip_sin_to_cos=cfg.flip_sin_to_cos,
-            freq_shift=cfg.freq_shift,
-        ).astype(cfg.dtype)
-        if t_emb.shape[0] == 1 and sample.shape[0] > 1:
-            t_emb = jnp.broadcast_to(t_emb, (sample.shape[0], t_emb.shape[1]))
-        temb = TimestepEmbedding(time_embed_dim, dtype=cfg.dtype,
-                                 name="time_embedding")(t_emb)
-
-        def make_attn(i: int, name: str):
+        def attn(i, name):
             heads = cfg.num_attention_heads[i]
             ch = cfg.block_out_channels[i]
             return transformer(
                 num_heads=heads, head_dim=ch // heads,
                 use_linear_projection=cfg.use_linear_projection,
                 groups=cfg.norm_num_groups, dtype=cfg.dtype,
-                use_flash=cfg.use_flash_attention, name=name,
-            )
+                use_flash=cfg.use_flash_attention, name=name)
 
-        # --- down path ---
-        x = nn.Conv(ch0, (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype,
-                    name="conv_in")(sample)
-        skips = [x]
-        n_blocks = len(cfg.block_out_channels)
+        self.time_embedding = TimestepEmbedding(ch0 * 4, dtype=cfg.dtype)
+        self.conv_in = nn.Conv(ch0, (3, 3), padding=((1, 1), (1, 1)),
+                               dtype=cfg.dtype)
+
+        down_resnets, down_attns, downsamplers = [], [], []
         for i, ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
-                x = resnet(ch, groups=cfg.norm_num_groups, dtype=cfg.dtype,
-                           name=f"down_blocks_{i}_resnets_{j}")(x, temb)
-                if cfg.down_block_has_attn[i]:
-                    x = make_attn(i, f"down_blocks_{i}_attentions_{j}")(
-                        x, encoder_hidden_states)
-                skips.append(x)
-            if i < n_blocks - 1:
-                x = Downsample2D(ch, dtype=cfg.dtype,
-                                 name=f"down_blocks_{i}_downsamplers_0")(x)
-                skips.append(x)
+                down_resnets.append(resnet(
+                    ch, name=f"down_blocks_{i}_resnets_{j}"))
+                down_attns.append(
+                    attn(i, f"down_blocks_{i}_attentions_{j}")
+                    if cfg.down_block_has_attn[i] else None)
+            downsamplers.append(
+                Downsample2D(ch, dtype=cfg.dtype,
+                             name=f"down_blocks_{i}_downsamplers_0")
+                if i < n_blocks - 1 else None)
+        self._down_resnets = down_resnets
+        self._down_attns = down_attns
+        self._downsamplers = downsamplers
 
-        # --- mid ---
         mid_ch = cfg.block_out_channels[-1]
-        mid_heads = cfg.num_attention_heads[-1]
-        x = resnet(mid_ch, groups=cfg.norm_num_groups, dtype=cfg.dtype,
-                   name="mid_block_resnets_0")(x, temb)
-        x = transformer(
-            num_heads=mid_heads, head_dim=mid_ch // mid_heads,
-            use_linear_projection=cfg.use_linear_projection,
-            groups=cfg.norm_num_groups, dtype=cfg.dtype,
-            use_flash=cfg.use_flash_attention, name="mid_block_attentions_0",
-        )(x, encoder_hidden_states)
-        x = resnet(mid_ch, groups=cfg.norm_num_groups, dtype=cfg.dtype,
-                   name="mid_block_resnets_1")(x, temb)
+        self.mid_block_resnets_0 = resnet(mid_ch)
+        self.mid_block_attentions_0 = attn(n_blocks - 1, None)
+        self.mid_block_resnets_1 = resnet(mid_ch)
 
-        # --- up path ---
         rev_ch = tuple(reversed(cfg.block_out_channels))
         rev_idx = tuple(reversed(range(n_blocks)))
+        up_resnets, up_attns, upsamplers = [], [], []
         for u, (ch, i) in enumerate(zip(rev_ch, rev_idx)):
             for j in range(cfg.layers_per_block + 1):
-                skip = skips.pop()
-                x = jnp.concatenate([x, skip], axis=-1)
-                x = resnet(ch, groups=cfg.norm_num_groups, dtype=cfg.dtype,
-                           name=f"up_blocks_{u}_resnets_{j}")(x, temb)
-                if cfg.up_block_has_attn[u]:
-                    heads = cfg.num_attention_heads[i]
-                    x = transformer(
-                        num_heads=heads, head_dim=ch // heads,
-                        use_linear_projection=cfg.use_linear_projection,
-                        groups=cfg.norm_num_groups, dtype=cfg.dtype,
-                        use_flash=cfg.use_flash_attention,
-                        name=f"up_blocks_{u}_attentions_{j}",
-                    )(x, encoder_hidden_states)
-            if u < n_blocks - 1:
-                x = Upsample2D(ch, dtype=cfg.dtype,
-                               name=f"up_blocks_{u}_upsamplers_0")(x)
+                up_resnets.append(resnet(ch, name=f"up_blocks_{u}_resnets_{j}"))
+                up_attns.append(
+                    attn(i, f"up_blocks_{u}_attentions_{j}")
+                    if cfg.up_block_has_attn[u] else None)
+            upsamplers.append(
+                Upsample2D(ch, dtype=cfg.dtype,
+                           name=f"up_blocks_{u}_upsamplers_0")
+                if u < n_blocks - 1 else None)
+        self._up_resnets = up_resnets
+        self._up_attns = up_attns
+        self._upsamplers = upsamplers
 
-        # --- out ---
         if cfg.use_fused_groupnorm:
-            x = GroupNormSiLU(groups=cfg.norm_num_groups, eps=1e-5,
-                              name="conv_norm_out")(x)
+            self.conv_norm_out = GroupNormSiLU(groups=cfg.norm_num_groups,
+                                               eps=1e-5)
         else:
-            x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
-                             dtype=cfg.dtype, name="conv_norm_out")(x)
+            self.conv_norm_out = nn.GroupNorm(num_groups=cfg.norm_num_groups,
+                                              epsilon=1e-5, dtype=cfg.dtype)
+        self.conv_out = nn.Conv(cfg.out_channels, (3, 3),
+                                padding=((1, 1), (1, 1)), dtype=cfg.dtype)
+
+    # ------------------------------------------------------------------
+
+    def time_embed(self, timesteps: jax.Array, batch: int) -> jax.Array:
+        cfg = self.config
+        t_emb = timestep_embedding(
+            timesteps, cfg.block_out_channels[0],
+            flip_sin_to_cos=cfg.flip_sin_to_cos, freq_shift=cfg.freq_shift,
+        ).astype(cfg.dtype)
+        if t_emb.shape[0] == 1 and batch > 1:
+            t_emb = jnp.broadcast_to(t_emb, (batch, t_emb.shape[1]))
+        return self.time_embedding(t_emb)
+
+    def encode(
+        self,
+        sample: jax.Array,               # (B, H, W, 9)
+        temb: jax.Array,                 # (B, 1280)
+        encoder_hidden_states: jax.Array,
+    ) -> Tuple[jax.Array, List[jax.Array]]:
+        """conv_in + down path -> (bottom features, skip stack)."""
+        cfg = self.config
+        x = self.conv_in(sample)
+        skips = [x]
+        li = 0
+        n_blocks = len(cfg.block_out_channels)
+        for i in range(n_blocks):
+            for _ in range(cfg.layers_per_block):
+                x = self._down_resnets[li](x, temb)
+                if self._down_attns[li] is not None:
+                    x = self._down_attns[li](x, encoder_hidden_states)
+                skips.append(x)
+                li += 1
+            if self._downsamplers[i] is not None:
+                x = self._downsamplers[i](x)
+                skips.append(x)
+        return x, skips
+
+    def decode(
+        self,
+        x: jax.Array,
+        skips: List[jax.Array],
+        temb: jax.Array,
+        encoder_hidden_states: jax.Array,
+    ) -> jax.Array:
+        """mid block + up path + output head."""
+        cfg = self.config
+        skips = list(skips)
+        x = self.mid_block_resnets_0(x, temb)
+        x = self.mid_block_attentions_0(x, encoder_hidden_states)
+        x = self.mid_block_resnets_1(x, temb)
+
+        li = 0
+        n_blocks = len(cfg.block_out_channels)
+        for u in range(n_blocks):
+            for _ in range(cfg.layers_per_block + 1):
+                x = jnp.concatenate([x, skips.pop()], axis=-1)
+                x = self._up_resnets[li](x, temb)
+                if self._up_attns[li] is not None:
+                    x = self._up_attns[li](x, encoder_hidden_states)
+                li += 1
+            if self._upsamplers[u] is not None:
+                x = self._upsamplers[u](x)
+
+        x = self.conv_norm_out(x)
+        if not cfg.use_fused_groupnorm:
             x = nn.silu(x)
-        x = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=cfg.dtype, name="conv_out")(x)
-        return x
+        return self.conv_out(x)
+
+    def __call__(
+        self,
+        sample: jax.Array,          # (B, H, W, 9)
+        timesteps: jax.Array,       # () or (B,)
+        encoder_hidden_states: jax.Array,  # (B, 577, 1024)
+    ) -> jax.Array:                 # (B, H, W, 4)
+        temb = self.time_embed(timesteps, sample.shape[0])
+        x, skips = self.encode(sample, temb, encoder_hidden_states)
+        return self.decode(x, skips, temb, encoder_hidden_states)
 
 
 def count_params(params) -> int:

@@ -177,6 +177,7 @@ class DiffUTEPipeline:
         sampler: str,
         guidance_scale: float,
         blend: bool,
+        reuse_interval: int,
         unet_params,
         ctx, null_ctx, mask_lat, masked_latents, crop_latents, latents,
         key: jax.Array,
@@ -203,18 +204,50 @@ class DiffUTEPipeline:
         blend_noise = (jax.random.normal(k_blend, latents.shape, latents.dtype)
                        if blend else jnp.zeros((1,) * latents.ndim, latents.dtype))
 
-        def unet_eps(latents, t, step_ctx):
-            x_in = jnp.concatenate([latents, mask_lat, masked_latents], axis=-1)
-            return self.unet.apply({"params": unet_params}, x_in, t, step_ctx)
+        variables = {"params": unet_params}
+        B = latents.shape[0]
 
-        def body(latents, scan_x):
-            t, prev_t, noise_t = scan_x
+        def temb_of(t):
+            return self.unet.apply(variables, t, B, method=self.unet.time_embed)
+
+        def unet_full(latents, t, step_ctx):
+            """Full forward; also returns the encoder-feature cache."""
+            temb = temb_of(t)
+            x_in = jnp.concatenate([latents, mask_lat, masked_latents], axis=-1)
+            bottom, skips = self.unet.apply(variables, x_in, temb, step_ctx,
+                                            method=self.unet.encode)
+            eps = self.unet.apply(variables, bottom, skips, temb, step_ctx,
+                                  method=self.unet.decode)
+            return eps, (bottom, tuple(skips))
+
+        def unet_reuse(cache, t, step_ctx):
+            """Decoder-only forward over propagated encoder features
+            (Faster Diffusion, arXiv:2312.09608)."""
+            bottom, skips = cache
+            temb = temb_of(t)
+            return self.unet.apply(variables, bottom, list(skips), temb,
+                                   step_ctx, method=self.unet.decode)
+
+        def predict(latents, t, cache):
+            """-> (eps, new_cache); cache=None forces a full forward."""
             if use_cfg:
-                eps_c = unet_eps(latents, t, ctx)
-                eps_u = unet_eps(latents, t, null_ctx)
+                if cache is None:
+                    eps_c, cache_c = unet_full(latents, t, ctx)
+                    eps_u, cache_u = unet_full(latents, t, null_ctx)
+                    cache = (cache_c, cache_u)
+                else:
+                    cache_c, cache_u = cache
+                    eps_c = unet_reuse(cache_c, t, ctx)
+                    eps_u = unet_reuse(cache_u, t, null_ctx)
                 eps = eps_u + guidance_scale * (eps_c - eps_u)
             else:
-                eps = unet_eps(latents, t, ctx)
+                if cache is None:
+                    eps, cache = unet_full(latents, t, ctx)
+                else:
+                    eps = unet_reuse(cache, t, ctx)
+            return eps, cache
+
+        def advance(latents, eps, t, prev_t, noise_t):
             if sampler == "ddpm":
                 latents = ddpm_step(self.schedule, eps, t, latents, noise_t,
                                     num_inference_steps=num_steps)
@@ -228,9 +261,32 @@ class DiffUTEPipeline:
                     crop_latents,
                 )
                 latents = mask_lat * latents + (1.0 - mask_lat) * noised
+            return latents
+
+        k = max(1, reuse_interval)
+        n_super, rem = divmod(num_steps, k)
+
+        def super_body(latents, scan_x):
+            ts_g, prevs_g, noise_g = scan_x  # leading dim k
+            cache = None
+            for j in range(k):  # statically unrolled
+                eps, cache = predict(latents, ts_g[j],
+                                     cache if j > 0 else None)
+                latents = advance(latents, eps, ts_g[j], prevs_g[j], noise_g[j])
             return latents, None
 
-        latents, _ = jax.lax.scan(body, latents, (ts_arr, prev_arr, step_noise))
+        def group(x, n, size):
+            return x[: n * size].reshape((n, size) + x.shape[1:])
+
+        if n_super:
+            latents, _ = jax.lax.scan(
+                super_body, latents,
+                (group(ts_arr, n_super, k), group(prev_arr, n_super, k),
+                 group(step_noise, n_super, k)))
+        for j in range(num_steps - rem, num_steps):  # remainder: full steps
+            eps, _ = predict(latents, ts_arr[j], None)
+            latents = advance(latents, eps, ts_arr[j], prev_arr[j],
+                              step_noise[j])
         return latents
 
     def _device_decode(self, vae_params, latents: jax.Array) -> jax.Array:
@@ -242,15 +298,17 @@ class DiffUTEPipeline:
         return jnp.clip(jnp.round(image), 0, 255).astype(jnp.uint8)
 
     def _get_compiled(self, num_steps: int, sampler: str,
-                      guidance_scale: float, blend: bool):
+                      guidance_scale: float, blend: bool,
+                      reuse_interval: int = 1):
         """Compile (or fetch) the staged programs for this signature; returns
         a callable with the original single-program interface."""
         use_cfg = guidance_scale > 1.0
-        sig = (num_steps, sampler, guidance_scale, blend)
+        sig = (num_steps, sampler, guidance_scale, blend, reuse_interval)
         if sig not in self._compiled:
             prep = jax.jit(functools.partial(self._device_prep, blend, use_cfg))
             loop = jax.jit(functools.partial(
-                self._device_loop, num_steps, sampler, guidance_scale, blend))
+                self._device_loop, num_steps, sampler, guidance_scale, blend,
+                reuse_interval))
             decode = jax.jit(self._device_decode)
 
             def run(params, crop_u8, mask_u8, masked_u8, glyph_u8,
@@ -393,7 +451,8 @@ class DiffUTEPipeline:
         null384 = (trocr_preprocess_host([render_glyph("", self.config.glyph)],
                                          self.config.trocr)
                    if use_cfg else dummy)
-        fn = self._get_compiled(steps, ec.sampler, ec.guidance_scale, blend)
+        fn = self._get_compiled(steps, ec.sampler, ec.guidance_scale, blend,
+                                ec.encoder_reuse_interval)
         inputs = (
             np.stack([r["crop512"] for r in regions]) if blend else dummy,
             np.stack([r["mask512"] for r in regions]),

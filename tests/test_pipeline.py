@@ -112,6 +112,39 @@ def test_edit_unicode_text(pipe, scene):
     assert out.shape == img.shape
 
 
+def test_encoder_reuse_matches_baseline_at_k1(pipe, scene):
+    img, box = scene
+    base, _ = pipe.edit(img, box, "abc", num_inference_steps=4, seed=3)
+    ec = dataclasses.replace(pipe.config.edit, encoder_reuse_interval=1)
+    same, _ = pipe.edit(img, box, "abc", num_inference_steps=4, seed=3,
+                        edit_config=ec)
+    np.testing.assert_array_equal(base, same)
+
+
+def test_encoder_reuse_k2_runs(pipe, scene):
+    img, box = scene
+    # 5 steps with k=2: 2 super-steps + 1 remainder full step
+    ec = dataclasses.replace(pipe.config.edit, encoder_reuse_interval=2)
+    out, _ = pipe.edit(img, box, "abc", num_inference_steps=5, seed=3,
+                       edit_config=ec)
+    assert out.shape == img.shape
+    changed = (out != img).any(axis=-1)
+    assert changed.any()
+    # still constrained to the bbox
+    x1, y1, x2, y2 = box
+    ys, xs = np.where(changed)
+    assert xs.min() >= x1 and xs.max() < x2
+
+
+def test_encoder_reuse_with_cfg(pipe, scene):
+    img, box = scene
+    ec = dataclasses.replace(pipe.config.edit, encoder_reuse_interval=2,
+                             guidance_scale=2.5)
+    out, _ = pipe.edit(img, box, "abc", num_inference_steps=4, seed=3,
+                       edit_config=ec)
+    assert out.shape == img.shape
+
+
 def test_compiled_cache_reused(pipe, scene):
     img, box = scene
     pipe.edit(img, box, "one", num_inference_steps=2)
