@@ -24,6 +24,9 @@ def parse_args():
     p.add_argument("--lr_scheduler", default="constant")
     p.add_argument("--lr_warmup_steps", type=int, default=500)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--scale_lr", action="store_true")
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["adamw", "adafactor"])
     p.add_argument("--mixed_precision", default="no", choices=["no", "bf16"])
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--checkpoints_total_limit", type=int, default=None)
@@ -70,10 +73,12 @@ def main():
         seed=args.seed,
         output_dir=args.output_dir,
         optimizer=OptimizerConfig(
+            name=args.optimizer,
             learning_rate=args.learning_rate,
             lr_scheduler=args.lr_scheduler,
             lr_warmup_steps=args.lr_warmup_steps,
             max_grad_norm=args.max_grad_norm,
+            scale_lr=args.scale_lr,
         ),
     )
 
