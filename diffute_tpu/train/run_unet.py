@@ -194,7 +194,11 @@ def main():
     if profiling:
         jax.profiler.stop_trace()
     writer.close()
-    print(f"done at step {step}; final loss {float(metrics['loss']):.4f}")
+    if step > start_step:
+        print(f"done at step {step}; final loss {float(metrics['loss']):.4f}")
+    else:
+        print(f"done at step {step}; nothing to train "
+              f"(resumed at or beyond max_train_steps)")
 
 
 if __name__ == "__main__":

@@ -140,7 +140,11 @@ def main():
                 vae_config=diffusers_vae_config_json(config.vae))
             print(f"saved {path}")
     writer.close()
-    print(f"done at step {step}; final loss {float(metrics['loss']):.4f}")
+    if step > start_step:
+        print(f"done at step {step}; final loss {float(metrics['loss']):.4f}")
+    else:
+        print(f"done at step {step}; nothing to train "
+              f"(resumed at or beyond max_train_steps)")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,73 @@
+"""End-to-end CLI trainer runs (in-process, tiny smoke configs)."""
+
+import json
+import os
+import sys
+
+import cv2
+import numpy as np
+import pytest
+
+
+def _run_main(module_main, argv, monkeypatch):
+    monkeypatch.setattr(sys, "argv", argv)
+    module_main()
+
+
+def test_run_vae_smoke(tmp_path, monkeypatch, capsys):
+    from diffute_tpu.train.run_vae import main
+
+    out = str(tmp_path / "vae")
+    _run_main(main, ["run_vae", "--smoke", "--report_to", "none",
+                     "--output_dir", out], monkeypatch)
+    text = capsys.readouterr().out
+    assert "done at step 2" in text
+    assert os.path.exists(os.path.join(out, "checkpoint-2", "vae",
+                                       "diffusion_pytorch_model.safetensors"))
+
+
+def test_run_unet_smoke_with_resume(tmp_path, monkeypatch, capsys):
+    from diffute_tpu.train.run_unet import main
+
+    out = str(tmp_path / "unet")
+    _run_main(main, ["run_unet", "--smoke", "--report_to", "none",
+                     "--output_dir", out, "--use_ema"], monkeypatch)
+    first = capsys.readouterr().out
+    assert "done at step 2" in first
+    ckpt = os.path.join(out, "checkpoint-2")
+    assert os.path.exists(os.path.join(ckpt, "unet",
+                                       "diffusion_pytorch_model.safetensors"))
+    assert os.path.exists(os.path.join(ckpt, "unet_ema",
+                                       "diffusion_pytorch_model.safetensors"))
+    with open(os.path.join(ckpt, "unet", "config.json")) as f:
+        cfg = json.load(f)
+    assert cfg["in_channels"] == 9
+
+    # resume from latest: step counter restored, so the loop exits immediately
+    _run_main(main, ["run_unet", "--smoke", "--report_to", "none",
+                     "--output_dir", out, "--use_ema",
+                     "--resume_from_checkpoint", "latest"], monkeypatch)
+    second = capsys.readouterr().out
+    assert "resumed from" in second and "checkpoint-2" in second
+
+
+def test_run_unet_with_manifest(tmp_path, monkeypatch, capsys):
+    from diffute_tpu.train.run_unet import main
+
+    img = np.random.RandomState(0).randint(0, 255, (300, 400, 3), np.uint8)
+    ip = str(tmp_path / "im.png")
+    cv2.imwrite(ip, img)
+    op = str(tmp_path / "ocr.json")
+    with open(op, "w") as f:
+        json.dump({"document": [{"text": "hello", "score": 0.9,
+                                 "box": [[50, 60], [180, 60], [180, 90],
+                                         [50, 90]]}]}, f)
+    csv = str(tmp_path / "doc_select.csv")
+    with open(csv, "w") as f:
+        f.write(f"image_path,ocr_path\n{ip},{op}\n")
+
+    out = str(tmp_path / "unet_m")
+    _run_main(main, ["run_unet", "--smoke", "--report_to", "none",
+                     "--output_dir", out, "--manifest", csv,
+                     "--optimizer", "adafactor"], monkeypatch)
+    assert "done at step 2" in capsys.readouterr().out
