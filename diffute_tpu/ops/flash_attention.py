@@ -1,4 +1,4 @@
-"""Pallas TPU flash attention.
+"""Pallas TPU flash attention (forward + backward kernels).
 
 The TPU analogue of the reference's opt-in xformers memory-efficient
 attention (reference train_diffute_v1.py:648-659): an online-softmax tiled
@@ -11,12 +11,16 @@ Shapes served (SD2-inpainting + TrOCR, SURVEY.md §5.7):
   handled by padding + in-kernel masking)
 - TrOCR ViT self-attention: S = T = 577, head_dim 64
 
-Design: grid (batch*heads, q_blocks, kv_blocks) with the kv dimension
+Forward: grid (batch*heads, q_blocks, kv_blocks) with the kv dimension
 innermost; online-softmax state (m, l, acc) lives in VMEM scratch that
 persists across the sequential kv iterations; logits/accumulation in fp32 on
-the MXU regardless of input dtype.  Backward currently recomputes attention
-with XLA ops via custom_vjp (exact, memory-heavier than a bwd kernel; fine
-for the <=4096-token training shapes).
+the MXU regardless of input dtype.  The per-row log-sum-exp is emitted for
+the backward.
+
+Backward: the standard flash backward as two kernels over the saved LSE —
+dq accumulates across kv-innermost grid steps, dk/dv across q-innermost
+steps, with ``delta = rowsum(dO * O)`` precomputed in XLA.  No (S, T)
+matrix ever reaches HBM in either direction.
 """
 
 from __future__ import annotations
@@ -32,8 +36,38 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-                  *, scale: float, kv_len: int, block_kv: int):
+def _interpret() -> bool:
+    # interpret on CPU so the same model flag works in tests/dev
+    return jax.default_backend() == "cpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pick_blocks(s_len: int, kv_len: int, block_q: int, block_kv: int):
+    block_q = min(block_q, _round_up(s_len, 128))
+    if kv_len <= 1024:
+        # short KV (e.g. 577-token TrOCR cross-attention): one kv block with
+        # minimal 128-padding beats iterating half-empty 512 blocks
+        block_kv = _round_up(kv_len, 128)
+    else:
+        block_kv = min(block_kv, _round_up(kv_len, 128))
+    return block_q, block_kv
+
+
+def _pad_seq(x: jax.Array, block: int) -> jax.Array:
+    pad = _round_up(x.shape[1], block) - x.shape[1]
+    return jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, scale: float, kv_len: int, block_kv: int):
     kv_idx = pl.program_id(2)
     n_kv = pl.num_programs(2)
 
@@ -71,35 +105,24 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     @pl.when(kv_idx == n_kv - 1)
     def _():
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:] + jnp.log(l_scr[:])
 
 
 def _flash_fwd_3d(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
-                  block_q: int, block_kv: int) -> jax.Array:
-    """q (BH, S, D), k/v (BH, T, D) -> (BH, S, D)."""
+                  block_q: int, block_kv: int):
+    """q (BH, S, D), k/v (BH, T, D) -> (o (BH, S, D), lse (BH, S, 1))."""
     bh, s_len, d = q.shape
     kv_len = k.shape[1]
-    block_q = min(block_q, _round_up(s_len, 128))
-    if kv_len <= 1024:
-        # short KV (e.g. 577-token TrOCR cross-attention): one kv block with
-        # minimal 128-padding beats iterating half-empty 512 blocks
-        block_kv = _round_up(kv_len, 128)
-    else:
-        block_kv = min(block_kv, _round_up(kv_len, 128))
-
-    kv_pad = _round_up(kv_len, block_kv) - kv_len
-    if kv_pad:
-        k = jnp.pad(k, ((0, 0), (0, kv_pad), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, kv_pad), (0, 0)))
-    q_pad = _round_up(s_len, block_q) - s_len
-    if q_pad:
-        q = jnp.pad(q, ((0, 0), (0, q_pad), (0, 0)))
+    block_q, block_kv = _pick_blocks(s_len, kv_len, block_q, block_kv)
+    q = _pad_seq(q, block_q)
+    k = _pad_seq(k, block_kv)
+    v = _pad_seq(v, block_kv)
 
     grid = (bh, q.shape[1] // block_q, k.shape[1] // block_kv)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_len=kv_len,
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len,
                           block_kv=block_kv),
-        # interpret on CPU so the same model flag works in tests/dev
-        interpret=jax.default_backend() == "cpu",
+        interpret=_interpret(),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
@@ -109,22 +132,167 @@ def _flash_fwd_3d(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
             pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((bh, q.shape[1], 1), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
     )(q, k, v)
-    if q_pad:
-        out = out[:, :s_len]
-    return out
+    return out[:, :s_len], lse[:, :s_len]
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   dq_scr, *, scale: float, kv_len: int, block_kv: int):
+    kv_idx = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]                       # (BQ, 1)
+    delta = delta_ref[0]                   # (BQ, 1)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if kv_len % block_kv != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_kv
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse)                   # (BQ, BKV)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr,
+                    *, scale: float, kv_len: int, block_kv: int):
+    q_idx = pl.program_id(2)
+    n_q = pl.num_programs(2)
+    kv_idx = pl.program_id(1)
+
+    @pl.when(q_idx == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if kv_len % block_kv != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_kv
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse)                   # (BQ, BKV)
+    # dv += P^T dO
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    # dk += dS^T Q * scale
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(q_idx == n_q - 1)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_3d(q, k, v, o, lse, do, scale, block_q, block_kv):
+    bh, s_len, d = q.shape
+    kv_len = k.shape[1]
+    block_q, block_kv = _pick_blocks(s_len, kv_len, block_q, block_kv)
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)  # (BH, S, 1)
+
+    q = _pad_seq(q, block_q)
+    do = _pad_seq(do, block_q)
+    lse = _pad_seq(lse, block_q)
+    delta = _pad_seq(delta, block_q)
+    k = _pad_seq(k, block_kv)
+    v = _pad_seq(v, block_kv)
+    s_pad, kv_pad = q.shape[1], k.shape[1]
+
+    q_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0),
+                           memory_space=pltpu.VMEM)
+    q1_spec = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
+                           memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=kv_len,
+                          block_kv=block_kv),
+        interpret=_interpret(),
+        grid=(bh, s_pad // block_q, kv_pad // block_kv),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, q1_spec, q1_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+    )(q, k, v, do, lse, delta)
+
+    # dk/dv: kv blocks outer, q blocks innermost (accumulate across q)
+    q_spec2 = pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0),
+                           memory_space=pltpu.VMEM)
+    kv_spec2 = pl.BlockSpec((1, block_kv, d), lambda b, j, i: (b, j, 0),
+                            memory_space=pltpu.VMEM)
+    q1_spec2 = pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=kv_len,
+                          block_kv=block_kv),
+        interpret=_interpret(),
+        grid=(bh, kv_pad // block_kv, s_pad // block_q),
+        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, q1_spec2, q1_spec2],
+        out_specs=(kv_spec2, kv_spec2),
+        out_shape=(jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
+        scratch_shapes=[pltpu.VMEM((block_kv, d), jnp.float32),
+                        pltpu.VMEM((block_kv, d), jnp.float32)],
+    )(q, k, v, do, lse, delta)
+
+    return dq[:, :s_len], dk[:, :kv_len], dv[:, :kv_len]
+
+
+# ---------------------------------------------------------------------------
+# Public op with custom VJP
+# ---------------------------------------------------------------------------
 
 
 def _reference_attention(q, k, v, scale):
@@ -132,6 +300,16 @@ def _reference_attention(q, k, v, scale):
                         preferred_element_type=jnp.float32) * scale
     weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhst,bthd->bshd", weights, v)
+
+
+def _to3d(x):
+    b, s, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+
+def _from3d(x, b, h):
+    bh, s, d = x.shape
+    return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -144,33 +322,28 @@ def flash_attention(
     block_kv: int = 512,
 ) -> jax.Array:
     """Flash attention over (batch, seq, heads, head_dim) tensors."""
-    return _flash_impl(q, k, v, scale, block_q, block_kv)
-
-
-def _flash_impl(q, k, v, scale, block_q, block_kv):
-    if scale is None:
-        scale = q.shape[-1] ** -0.5
-    b, s, h, d = q.shape
-    t = k.shape[1]
-    q3 = q.transpose(0, 2, 1, 3).reshape(b * h, s, d)
-    k3 = k.transpose(0, 2, 1, 3).reshape(b * h, t, d)
-    v3 = v.transpose(0, 2, 1, 3).reshape(b * h, t, d)
-    o3 = _flash_fwd_3d(q3, k3, v3, scale, block_q, block_kv)
-    return o3.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+    out, _ = _flash_fwd_rule(q, k, v, scale, block_q, block_kv)
+    return out
 
 
 def _flash_fwd_rule(q, k, v, scale, block_q, block_kv):
-    return _flash_impl(q, k, v, scale, block_q, block_kv), (q, k, v)
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, _, h, _ = q.shape
+    o3, lse = _flash_fwd_3d(_to3d(q), _to3d(k), _to3d(v), scale,
+                            block_q, block_kv)
+    return _from3d(o3, b, h), (q, k, v, o3, lse)
 
 
 def _flash_bwd_rule(scale, block_q, block_kv, res, g):
-    # Exact backward by differentiating the reference formulation (XLA).
-    q, k, v = res
+    q, k, v, o3, lse = res
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    _, vjp = jax.vjp(lambda q, k, v: _reference_attention(q, k, v, scale),
-                     q, k, v)
-    return vjp(g)
+    b, _, h, _ = q.shape
+    dq3, dk3, dv3 = _flash_bwd_3d(
+        _to3d(q), _to3d(k), _to3d(v), o3, lse, _to3d(g), scale,
+        block_q, block_kv)
+    return _from3d(dq3, b, h), _from3d(dk3, b, h), _from3d(dv3, b, h)
 
 
 flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)

@@ -86,22 +86,51 @@ def test_custom_scale():
                                atol=2e-5, rtol=1e-4)
 
 
-def test_gradients_match_reference():
+@pytest.mark.parametrize("s,t,d", [
+    (64, 64, 32),      # tiny
+    (256, 256, 64),    # multi-block q and kv
+    (128, 577, 64),    # cross-attn: padded KV gradients
+    (577, 577, 32),    # padded Q gradients (ViT)
+])
+def test_gradients_match_reference(s, t, d):
     key = jax.random.PRNGKey(5)
     kq, kk, kv = jax.random.split(key, 3)
-    q = jax.random.normal(kq, (1, 64, 2, 32))
-    k = jax.random.normal(kk, (1, 64, 2, 32))
-    v = jax.random.normal(kv, (1, 64, 2, 32))
+    q = jax.random.normal(kq, (1, s, 2, d))
+    k = jax.random.normal(kk, (1, t, 2, d))
+    v = jax.random.normal(kv, (1, t, 2, d))
 
     def loss_flash(q, k, v):
         with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(fa.flash_attention(q, k, v) ** 2)
+            return jnp.sum(fa.flash_attention(q, k, v, None, 128, 128) ** 2)
 
     def loss_ref(q, k, v):
-        return jnp.sum(_xla_attention(q, k, v, 32**-0.5) ** 2)
+        return jnp.sum(_xla_attention(q, k, v, d**-0.5) ** 2)
 
     gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-4, rtol=1e-3)
+                                   atol=2e-4, rtol=1e-3)
+
+
+def test_gradients_bfloat16():
+    key = jax.random.PRNGKey(6)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (1, 128, 2, 64), jnp.bfloat16)
+    k = jax.random.normal(kk, (1, 128, 2, 64), jnp.bfloat16)
+    v = jax.random.normal(kv, (1, 128, 2, 64), jnp.bfloat16)
+
+    def loss_flash(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fa.flash_attention(q, k, v).astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, 64**-0.5).astype(jnp.float32) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        assert a.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=0.35, rtol=0.1)
