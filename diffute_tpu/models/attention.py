@@ -8,17 +8,24 @@ feed-forward, cross-attention over the 577-token TrOCR conditioning.
 All attention routes through diffute_tpu.ops.dot_product_attention so the
 Pallas flash kernel swaps in via a single flag (the TPU analogue of the
 reference's xformers opt-in, train_diffute_v1.py:648-659).
+
+Cross-attention K/V over the conditioning are loop-invariant in a denoising
+sampler (the TrOCR context never changes across steps); ``cross_kv`` lets
+callers precompute them once outside the scan (``Transformer2D.cross_kv``)
+and skip the to_k/to_v projections on every step.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from diffute_tpu.ops import dot_product_attention
+
+KV = Tuple[jax.Array, jax.Array]  # each (B, T, heads, head_dim)
 
 
 class Attention(nn.Module):
@@ -32,26 +39,37 @@ class Attention(nn.Module):
     out_bias: bool = True
     qkv_bias: bool = False
 
-    @nn.compact
-    def __call__(
-        self, x: jax.Array, context: Optional[jax.Array] = None
-    ) -> jax.Array:
-        context = x if context is None else context
+    def setup(self):
         inner = self.num_heads * self.head_dim
-        q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_v")(context)
+        dense = lambda name: nn.Dense(inner, use_bias=self.qkv_bias,
+                                      dtype=self.dtype, name=name)
+        self.to_q = dense("to_q")
+        self.to_k = dense("to_k")
+        self.to_v = dense("to_v")
+        self.to_out_0 = nn.Dense(inner, use_bias=self.out_bias,
+                                 dtype=self.dtype, name="to_out_0")
 
-        b, s, _ = q.shape
-        t = k.shape[1]
-        q = q.reshape(b, s, self.num_heads, self.head_dim)
-        k = k.reshape(b, t, self.num_heads, self.head_dim)
-        v = v.reshape(b, t, self.num_heads, self.head_dim)
+    def kv(self, context: jax.Array) -> KV:
+        """Project context -> (k, v), each (B, T, H, D) — precomputable."""
+        b, t, _ = context.shape
+        k = self.to_k(context).reshape(b, t, self.num_heads, self.head_dim)
+        v = self.to_v(context).reshape(b, t, self.num_heads, self.head_dim)
+        return k, v
 
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        kv: Optional[KV] = None,
+    ) -> jax.Array:
+        if kv is None:
+            kv = self.kv(x if context is None else context)
+        k, v = kv
+        b, s, _ = x.shape
+        q = self.to_q(x).reshape(b, s, self.num_heads, self.head_dim)
         out = dot_product_attention(q, k, v, use_flash=self.use_flash)
-        out = out.reshape(b, s, inner)
-        return nn.Dense(inner, use_bias=self.out_bias, dtype=self.dtype,
-                        name="to_out_0")(out)
+        out = out.reshape(b, s, self.num_heads * self.head_dim)
+        return self.to_out_0(out)
 
 
 class GEGLU(nn.Module):
@@ -82,16 +100,24 @@ class BasicTransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
 
-    @nn.compact
-    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+    def setup(self):
         attn_kw = dict(num_heads=self.num_heads, head_dim=self.head_dim,
                        dtype=self.dtype, use_flash=self.use_flash)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(**attn_kw, name="attn1")(h)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        x = x + Attention(**attn_kw, name="attn2")(h, context)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
-        x = x + FeedForward(x.shape[-1], dtype=self.dtype, name="ff")(h)
+        self.norm1 = nn.LayerNorm(dtype=self.dtype)
+        self.attn1 = Attention(**attn_kw)
+        self.norm2 = nn.LayerNorm(dtype=self.dtype)
+        self.attn2 = Attention(**attn_kw)
+        self.norm3 = nn.LayerNorm(dtype=self.dtype)
+        self.ff = FeedForward(self.num_heads * self.head_dim, dtype=self.dtype)
+
+    def cross_kv(self, context: jax.Array) -> KV:
+        return self.attn2.kv(context)
+
+    def __call__(self, x: jax.Array, context: jax.Array,
+                 cross_kv: Optional[KV] = None) -> jax.Array:
+        x = x + self.attn1(self.norm1(x))
+        x = x + self.attn2(self.norm2(x), context, kv=cross_kv)
+        x = x + self.ff(self.norm3(x))
         return x
 
 
@@ -110,28 +136,45 @@ class Transformer2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
 
-    @nn.compact
-    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
-        b, h, w, c = x.shape
-        residual = x
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
-                         dtype=self.dtype, name="norm")(x)
+    def setup(self):
+        c = self.num_heads * self.head_dim
+        self.norm = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
+                                 dtype=self.dtype)
         if self.use_linear_projection:
-            x = x.reshape(b, h * w, c)
-            x = nn.Dense(c, dtype=self.dtype, name="proj_in")(x)
+            self.proj_in = nn.Dense(c, dtype=self.dtype)
+            self.proj_out = nn.Dense(c, dtype=self.dtype)
         else:
-            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
-            x = x.reshape(b, h * w, c)
-        for i in range(self.depth):
-            x = BasicTransformerBlock(
+            self.proj_in = nn.Conv(c, (1, 1), dtype=self.dtype)
+            self.proj_out = nn.Conv(c, (1, 1), dtype=self.dtype)
+        self.transformer_blocks = [
+            BasicTransformerBlock(
                 num_heads=self.num_heads, head_dim=self.head_dim,
                 dtype=self.dtype, use_flash=self.use_flash,
-                name=f"transformer_blocks_{i}",
-            )(x, context)
+                name=f"transformer_blocks_{i}")
+            for i in range(self.depth)
+        ]
+
+    def cross_kv(self, context: jax.Array) -> Tuple[KV, ...]:
+        return tuple(blk.cross_kv(context) for blk in self.transformer_blocks)
+
+    def __call__(self, x: jax.Array, context: jax.Array,
+                 cross_kv: Optional[Tuple[KV, ...]] = None) -> jax.Array:
+        b, h, w, c = x.shape
+        residual = x
+        x = self.norm(x)
         if self.use_linear_projection:
-            x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+            x = x.reshape(b, h * w, c)
+            x = self.proj_in(x)
+        else:
+            x = self.proj_in(x)
+            x = x.reshape(b, h * w, c)
+        for i, blk in enumerate(self.transformer_blocks):
+            x = blk(x, context,
+                    cross_kv=cross_kv[i] if cross_kv is not None else None)
+        if self.use_linear_projection:
+            x = self.proj_out(x)
             x = x.reshape(b, h, w, c)
         else:
             x = x.reshape(b, h, w, c)
-            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+            x = self.proj_out(x)
         return x + residual

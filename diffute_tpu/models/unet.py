@@ -132,23 +132,46 @@ class UNet2DCondition(nn.Module):
             t_emb = jnp.broadcast_to(t_emb, (batch, t_emb.shape[1]))
         return self.time_embedding(t_emb)
 
+    def cross_attention_kv(self, encoder_hidden_states: jax.Array):
+        """Precompute every cross-attention layer's (k, v) over the
+        conditioning — loop-invariant across denoising steps; pass the result
+        as ``cross_kv`` to encode/decode/__call__ to skip the projections."""
+        kvs = []
+        for a in self._down_attns:
+            if a is not None:
+                kvs.append(a.cross_kv(encoder_hidden_states))
+        kvs.append(self.mid_block_attentions_0.cross_kv(encoder_hidden_states))
+        for a in self._up_attns:
+            if a is not None:
+                kvs.append(a.cross_kv(encoder_hidden_states))
+        return tuple(kvs)
+
+    @property
+    def _n_down_attns(self) -> int:
+        return sum(a is not None for a in self._down_attns)
+
     def encode(
         self,
         sample: jax.Array,               # (B, H, W, 9)
         temb: jax.Array,                 # (B, 1280)
         encoder_hidden_states: jax.Array,
+        cross_kv=None,
     ) -> Tuple[jax.Array, List[jax.Array]]:
         """conv_in + down path -> (bottom features, skip stack)."""
         cfg = self.config
         x = self.conv_in(sample)
         skips = [x]
         li = 0
+        ai = 0
         n_blocks = len(cfg.block_out_channels)
         for i in range(n_blocks):
             for _ in range(cfg.layers_per_block):
                 x = self._down_resnets[li](x, temb)
                 if self._down_attns[li] is not None:
-                    x = self._down_attns[li](x, encoder_hidden_states)
+                    x = self._down_attns[li](
+                        x, encoder_hidden_states,
+                        cross_kv=cross_kv[ai] if cross_kv is not None else None)
+                    ai += 1
                 skips.append(x)
                 li += 1
             if self._downsamplers[i] is not None:
@@ -162,12 +185,20 @@ class UNet2DCondition(nn.Module):
         skips: List[jax.Array],
         temb: jax.Array,
         encoder_hidden_states: jax.Array,
+        cross_kv=None,
     ) -> jax.Array:
         """mid block + up path + output head."""
         cfg = self.config
         skips = list(skips)
+        ai = self._n_down_attns  # decode's slice of the kv tuple starts here
+
+        def kv(idx):
+            return cross_kv[idx] if cross_kv is not None else None
+
         x = self.mid_block_resnets_0(x, temb)
-        x = self.mid_block_attentions_0(x, encoder_hidden_states)
+        x = self.mid_block_attentions_0(x, encoder_hidden_states,
+                                        cross_kv=kv(ai))
+        ai += 1
         x = self.mid_block_resnets_1(x, temb)
 
         li = 0
@@ -177,7 +208,9 @@ class UNet2DCondition(nn.Module):
                 x = jnp.concatenate([x, skips.pop()], axis=-1)
                 x = self._up_resnets[li](x, temb)
                 if self._up_attns[li] is not None:
-                    x = self._up_attns[li](x, encoder_hidden_states)
+                    x = self._up_attns[li](x, encoder_hidden_states,
+                                           cross_kv=kv(ai))
+                    ai += 1
                 li += 1
             if self._upsamplers[u] is not None:
                 x = self._upsamplers[u](x)
@@ -192,10 +225,11 @@ class UNet2DCondition(nn.Module):
         sample: jax.Array,          # (B, H, W, 9)
         timesteps: jax.Array,       # () or (B,)
         encoder_hidden_states: jax.Array,  # (B, 577, 1024)
+        cross_kv=None,
     ) -> jax.Array:                 # (B, H, W, 4)
         temb = self.time_embed(timesteps, sample.shape[0])
-        x, skips = self.encode(sample, temb, encoder_hidden_states)
-        return self.decode(x, skips, temb, encoder_hidden_states)
+        x, skips = self.encode(sample, temb, encoder_hidden_states, cross_kv)
+        return self.decode(x, skips, temb, encoder_hidden_states, cross_kv)
 
 
 def count_params(params) -> int:

@@ -207,44 +207,52 @@ class DiffUTEPipeline:
         variables = {"params": unet_params}
         B = latents.shape[0]
 
+        # Cross-attention K/V over the (constant) TrOCR conditioning are
+        # loop-invariant: project them ONCE here instead of inside every step.
+        ctx_kv = self.unet.apply(variables, ctx,
+                                 method=self.unet.cross_attention_kv)
+        null_kv = (self.unet.apply(variables, null_ctx,
+                                   method=self.unet.cross_attention_kv)
+                   if use_cfg else None)
+
         def temb_of(t):
             return self.unet.apply(variables, t, B, method=self.unet.time_embed)
 
-        def unet_full(latents, t, step_ctx):
+        def unet_full(latents, t, step_ctx, step_kv):
             """Full forward; also returns the encoder-feature cache."""
             temb = temb_of(t)
             x_in = jnp.concatenate([latents, mask_lat, masked_latents], axis=-1)
             bottom, skips = self.unet.apply(variables, x_in, temb, step_ctx,
-                                            method=self.unet.encode)
+                                            step_kv, method=self.unet.encode)
             eps = self.unet.apply(variables, bottom, skips, temb, step_ctx,
-                                  method=self.unet.decode)
+                                  step_kv, method=self.unet.decode)
             return eps, (bottom, tuple(skips))
 
-        def unet_reuse(cache, t, step_ctx):
+        def unet_reuse(cache, t, step_ctx, step_kv):
             """Decoder-only forward over propagated encoder features
             (Faster Diffusion, arXiv:2312.09608)."""
             bottom, skips = cache
             temb = temb_of(t)
             return self.unet.apply(variables, bottom, list(skips), temb,
-                                   step_ctx, method=self.unet.decode)
+                                   step_ctx, step_kv, method=self.unet.decode)
 
         def predict(latents, t, cache):
             """-> (eps, new_cache); cache=None forces a full forward."""
             if use_cfg:
                 if cache is None:
-                    eps_c, cache_c = unet_full(latents, t, ctx)
-                    eps_u, cache_u = unet_full(latents, t, null_ctx)
+                    eps_c, cache_c = unet_full(latents, t, ctx, ctx_kv)
+                    eps_u, cache_u = unet_full(latents, t, null_ctx, null_kv)
                     cache = (cache_c, cache_u)
                 else:
                     cache_c, cache_u = cache
-                    eps_c = unet_reuse(cache_c, t, ctx)
-                    eps_u = unet_reuse(cache_u, t, null_ctx)
+                    eps_c = unet_reuse(cache_c, t, ctx, ctx_kv)
+                    eps_u = unet_reuse(cache_u, t, null_ctx, null_kv)
                 eps = eps_u + guidance_scale * (eps_c - eps_u)
             else:
                 if cache is None:
-                    eps, cache = unet_full(latents, t, ctx)
+                    eps, cache = unet_full(latents, t, ctx, ctx_kv)
                 else:
-                    eps = unet_reuse(cache, t, ctx)
+                    eps = unet_reuse(cache, t, ctx, ctx_kv)
             return eps, cache
 
         def advance(latents, eps, t, prev_t, noise_t):
