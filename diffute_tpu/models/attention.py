@@ -80,7 +80,9 @@ class GEGLU(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         h = nn.Dense(self.inner_dim * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate)
+        # exact (erf) GELU — SD's GEGLU uses torch F.gelu, not the tanh
+        # approximation (flax's default)
+        return h * nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):
