@@ -91,6 +91,20 @@ def test_vae_manifest_dataset(cfg, tmp_path):
     assert batch["pixel_values"].shape == (2, res, res, 3)
 
 
+def test_read_image_bgr_mode(tmp_path):
+    from diffute_tpu.io import read_image
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[..., 0] = 200  # blue channel in BGR writing
+    p = str(tmp_path / "c.png")
+    cv2.imwrite(p, img)  # cv2 writes BGR
+    rgb = read_image(p)
+    bgr = read_image(p, bgr=True)
+    assert rgb[0, 0, 2] == 200 and rgb[0, 0, 0] == 0   # blue is last in RGB
+    assert bgr[0, 0, 0] == 200                          # reference order
+    np.testing.assert_array_equal(rgb[..., ::-1], bgr)
+
+
 def test_synthetic_dataset(cfg):
     ds = SyntheticSceneDataset(cfg)
     ex = ds[42]
