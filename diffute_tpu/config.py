@@ -35,6 +35,9 @@ class VAEConfig:
     scaling_factor: float = 0.18215
     # dtype for parameters / compute; fp32 default, bf16 for TPU speed runs.
     dtype: jnp.dtype = jnp.float32
+    # Rematerialize resnet blocks during stage-1 training (512^2 pixel-space
+    # activations are the memory hot spot).
+    remat: bool = False
 
     @property
     def scale_factor(self) -> int:

@@ -54,13 +54,14 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         cfg = self.config
+        resnet = nn.remat(ResnetBlock2D) if cfg.remat else ResnetBlock2D
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=((1, 1), (1, 1)),
                     dtype=cfg.dtype, name="conv_in")(x)
         for i, ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
-                x = ResnetBlock2D(ch, use_time_emb=False, groups=cfg.norm_num_groups,
-                                  eps=1e-6, dtype=cfg.dtype,
-                                  name=f"down_blocks_{i}_resnets_{j}")(x)
+                x = resnet(ch, use_time_emb=False, groups=cfg.norm_num_groups,
+                           eps=1e-6, dtype=cfg.dtype,
+                           name=f"down_blocks_{i}_resnets_{j}")(x)
             if i < len(cfg.block_out_channels) - 1:
                 x = Downsample2D(ch, dtype=cfg.dtype,
                                  name=f"down_blocks_{i}_downsamplers_0")(x)
@@ -80,6 +81,7 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
         cfg = self.config
+        resnet = nn.remat(ResnetBlock2D) if cfg.remat else ResnetBlock2D
         rev = tuple(reversed(cfg.block_out_channels))
         x = nn.Conv(rev[0], (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype,
                     name="conv_in")(z)
@@ -87,9 +89,9 @@ class Decoder(nn.Module):
                      name="mid_block")(x)
         for i, ch in enumerate(rev):
             for j in range(cfg.layers_per_block + 1):
-                x = ResnetBlock2D(ch, use_time_emb=False, groups=cfg.norm_num_groups,
-                                  eps=1e-6, dtype=cfg.dtype,
-                                  name=f"up_blocks_{i}_resnets_{j}")(x)
+                x = resnet(ch, use_time_emb=False, groups=cfg.norm_num_groups,
+                           eps=1e-6, dtype=cfg.dtype,
+                           name=f"up_blocks_{i}_resnets_{j}")(x)
             if i < len(rev) - 1:
                 x = Upsample2D(ch, dtype=cfg.dtype,
                                name=f"up_blocks_{i}_upsamplers_0")(x)

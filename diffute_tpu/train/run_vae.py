@@ -28,6 +28,7 @@ def parse_args():
     p.add_argument("--optimizer", default="adamw",
                    choices=["adamw", "adafactor"])
     p.add_argument("--mixed_precision", default="no", choices=["no", "bf16"])
+    p.add_argument("--gradient_checkpointing", action="store_true")
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--checkpoints_total_limit", type=int, default=None)
     p.add_argument("--resume_from_checkpoint", default=None)
@@ -88,6 +89,9 @@ def main():
     else:
         config = DiffUTEConfig(train=train_cfg)
         batch_size = args.train_batch_size * len(jax.devices())
+    if args.gradient_checkpointing:
+        config = dataclasses.replace(
+            config, vae=dataclasses.replace(config.vae, remat=True))
 
     if args.pretrained:
         from diffute_tpu.serve.loading import load_diffusers_layout
