@@ -147,6 +147,8 @@ def _flash_fwd_3d(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(q, k, v)
     return out[:, :s_len], lse[:, :s_len]
 
@@ -265,6 +267,8 @@ def _flash_bwd_3d(q, k, v, o, lse, do, scale, block_q, block_kv):
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(q, k, v, do, lse, delta)
 
     # dk/dv: kv blocks outer, q blocks innermost (accumulate across q)
@@ -285,6 +289,8 @@ def _flash_bwd_3d(q, k, v, o, lse, do, scale, block_q, block_kv):
                    jax.ShapeDtypeStruct(v.shape, v.dtype)),
         scratch_shapes=[pltpu.VMEM((block_kv, d), jnp.float32),
                         pltpu.VMEM((block_kv, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(q, k, v, do, lse, delta)
 
     return dq[:, :s_len], dk[:, :kv_len], dv[:, :kv_len]

@@ -133,6 +133,8 @@ def group_norm_silu(
         out_specs=pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x3.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
     )(x3, scale.reshape(1, c), bias.reshape(1, c),
       jnp.asarray(cg), jnp.asarray(gc))
     return out.reshape(b, h, w, c)
