@@ -145,11 +145,12 @@ class DiffUTEPipeline:
                 self.trocr.apply({"params": params["trocr"]},
                                  trocr_normalize(null_glyph_u8)), ctx.shape)
 
-        # Mask to latent resolution — F.interpolate default is nearest
-        # (reference train_diffute_v1.py:881-883, app.ipynb:787-790).
-        mask_lat = jax.image.resize(
-            mask_u8.astype(jnp.float32), (B, r, r), method="nearest"
-        )[..., None]
+        # Mask to latent resolution — torch F.interpolate 'nearest' semantics
+        # (reference train_diffute_v1.py:881-883, app.ipynb:787-790; see
+        # diffute_tpu.ops.interpolate for why jax.image.resize differs).
+        from diffute_tpu.ops.interpolate import nearest_resize_2d
+
+        mask_lat = nearest_resize_2d(mask_u8.astype(jnp.float32), r, r)[..., None]
 
         # Masked-image latents (sampled, like latent_dist.sample(); reference
         # app.ipynb:793-794).

@@ -90,9 +90,11 @@ def make_unet_train_step(
         masked_latents = sample_latent(mmean, mlogvar, km) * sf
 
         B, r = latents.shape[0], latents.shape[1]
-        mask_lat = jax.image.resize(
-            micro["masks"].astype(compute_dtype), (B, r, r), method="nearest"
-        )[..., None]
+        from diffute_tpu.ops.interpolate import nearest_resize_2d
+
+        # torch F.interpolate 'nearest' semantics (reference :881-883)
+        mask_lat = nearest_resize_2d(
+            micro["masks"].astype(compute_dtype), r, r)[..., None]
 
         noise = jax.random.normal(kn, latents.shape, latents.dtype)
         if noise_offset:
