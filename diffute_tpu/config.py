@@ -146,9 +146,6 @@ class GlyphConfig:
     text_pos: Tuple[int, int] = (40, 10)
     empty_text_len: int = 3
     font_path: Optional[str] = None  # None -> search FALLBACK_FONTS
-    # Maximum rendered canvas width (chars) kept for static-shape batching of
-    # the TrOCR preprocessing; longer renders are handled unbatched.
-    max_text_len: int = 40
 
 
 @dataclasses.dataclass(frozen=True)

@@ -240,8 +240,13 @@ def ddpm_step(
     coef_xt = jnp.sqrt(current_alpha) * beta_prod_prev / beta_prod_t
     prev_mean = coef_x0 * pred_x0 + coef_xt * sample
 
-    # fixed_small variance, clamped for numerical safety like diffusers.
-    variance = jnp.clip(beta_prod_prev / beta_prod_t * current_beta, 1e-20)
+    # posterior variance, clamped for numerical safety like diffusers.
+    if schedule.variance_type == "fixed_small":
+        variance = jnp.clip(beta_prod_prev / beta_prod_t * current_beta, 1e-20)
+    elif schedule.variance_type == "fixed_large":
+        variance = jnp.clip(current_beta, 1e-20)
+    else:
+        raise ValueError(f"Unsupported variance_type {schedule.variance_type}")
     add = jnp.where(prev_t >= 0, jnp.sqrt(variance) * noise, jnp.zeros_like(sample))
     return prev_mean + add
 

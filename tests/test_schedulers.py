@@ -143,6 +143,25 @@ def test_ddpm_step_in_scan(sched):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_ddpm_variance_types():
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 4))
+    eps = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 4))
+    anc = jax.random.normal(jax.random.PRNGKey(2), x0.shape)
+    t = jnp.array(500)
+    xt = add_noise(make_schedule(SchedulerConfig()), x0, eps, t)
+    outs = {}
+    for vt in ("fixed_small", "fixed_large"):
+        s = make_schedule(SchedulerConfig(variance_type=vt))
+        outs[vt] = np.asarray(ddpm_step(s, eps, t, xt, anc,
+                                        num_inference_steps=50))
+        assert np.isfinite(outs[vt]).all()
+    # fixed_large adds more noise than fixed_small
+    assert not np.allclose(outs["fixed_small"], outs["fixed_large"])
+    s_bad = make_schedule(SchedulerConfig(variance_type="learned"))
+    with pytest.raises(ValueError):
+        ddpm_step(s_bad, eps, t, xt, anc, num_inference_steps=50)
+
+
 def test_v_prediction_roundtrip():
     sched_v = make_schedule(SchedulerConfig(prediction_type="v_prediction"))
     x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8))
