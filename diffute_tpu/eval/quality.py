@@ -30,24 +30,31 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> float:
-    """Mean SSIM over channels (HWC or HW uint8/float arrays)."""
+    """Mean SSIM over channels (HWC or HW uint8/float arrays).
+
+    Matches skimage's configuration: 'nearest' boundary handling (its
+    gaussian_filter default) and the (win_size-1)//2 border crop before
+    averaging — edge pixels see padded neighborhoods and are excluded.
+    """
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
     if a.ndim == 2:
         a, b = a[..., None], b[..., None]
     w = _gaussian_window()
+    pad = w.shape[0] // 2
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
     vals = []
     for ch in range(a.shape[-1]):
         x, y = a[..., ch], b[..., ch]
-        mu_x = convolve(x, w, mode="reflect")
-        mu_y = convolve(y, w, mode="reflect")
+        mu_x = convolve(x, w, mode="nearest")
+        mu_y = convolve(y, w, mode="nearest")
         mu_x2, mu_y2, mu_xy = mu_x**2, mu_y**2, mu_x * mu_y
-        sig_x = convolve(x * x, w, mode="reflect") - mu_x2
-        sig_y = convolve(y * y, w, mode="reflect") - mu_y2
-        sig_xy = convolve(x * y, w, mode="reflect") - mu_xy
+        sig_x = convolve(x * x, w, mode="nearest") - mu_x2
+        sig_y = convolve(y * y, w, mode="nearest") - mu_y2
+        sig_xy = convolve(x * y, w, mode="nearest") - mu_xy
         num = (2 * mu_xy + c1) * (2 * sig_xy + c2)
         den = (mu_x2 + mu_y2 + c1) * (sig_x + sig_y + c2)
-        vals.append(np.mean(num / den))
+        s = num / den
+        vals.append(np.mean(s[pad:-pad, pad:-pad]))
     return float(np.mean(vals))

@@ -60,7 +60,7 @@ class UNetManifestDataset:
         self.image_paths: List[str] = df["image_path"].tolist()
         self.ocr_paths: List[str] = df["ocr_path"].tolist()
         self.config = config
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.bgr = bgr
 
     def __len__(self) -> int:
@@ -68,6 +68,9 @@ class UNetManifestDataset:
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         cfg = self.config
+        # per-call generator: thread-safe under the prefetch loader and
+        # reproducible per (seed, index)
+        rng = np.random.default_rng((self.seed, index))
         image = read_image(self.image_paths[index], bgr=self.bgr)
         with open_blob(self.ocr_paths[index]) as f:
             ocr = json.loads(f.read())
@@ -75,7 +78,7 @@ class UNetManifestDataset:
                    if r.get("score", 1.0) > cfg.train.ocr_score_threshold]
         if not regions:
             raise ValueError(f"No OCR region above threshold: {self.ocr_paths[index]}")
-        region = regions[int(self.rng.integers(len(regions)))]
+        region = regions[int(rng.integers(len(regions)))]
         text = region["text"]
         quad = np.asarray(region["box"], dtype=np.float32)
         box = np.int32([quad[:, 0].min(), quad[:, 1].min(),
@@ -85,7 +88,7 @@ class UNetManifestDataset:
 
         mask = generate_mask((h, w), box)
         masked = make_masked_image(image, mask)
-        crop = train_crop(image, mask, masked, box, text, self.rng,
+        crop = train_crop(image, mask, masked, box, text, rng,
                           crop_scale=cfg.edit.train_crop_scale)
 
         res = cfg.edit.resolution
@@ -107,7 +110,7 @@ class VAEManifestDataset:
         df = pd.read_csv(manifest_csv, low_memory=False)
         self.paths: List[str] = df[path_column].tolist()
         self.config = config
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.bgr = bgr
 
     def __len__(self) -> int:
@@ -115,6 +118,7 @@ class VAEManifestDataset:
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         res = self.config.edit.resolution
+        rng = np.random.default_rng((self.seed, index))
         image = read_image(self.paths[index], bgr=self.bgr)
         h, w = image.shape[:2]
         short = min(h, w)
@@ -123,8 +127,8 @@ class VAEManifestDataset:
             scale = int(res * 2 / short)
             image = cv2.resize(image, (w * scale, h * scale))
             h, w = image.shape[:2]
-        y = int(self.rng.integers(0, h - res + 1))
-        x = int(self.rng.integers(0, w - res + 1))
+        y = int(rng.integers(0, h - res + 1))
+        x = int(rng.integers(0, w - res + 1))
         crop = image[y : y + res, x : x + res]
         return {"pixel_values": _normalize(crop)}
 
@@ -141,7 +145,7 @@ class SyntheticSceneDataset:
     def __init__(self, config: DiffUTEConfig, image_hw=(384, 512), seed: int = 0):
         self.config = config
         self.image_hw = image_hw
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed  # examples are deterministic per index
 
     def __len__(self) -> int:
         return 1 << 30
@@ -174,7 +178,10 @@ class SyntheticSceneDataset:
             "pixel_values": _normalize(_resize512(crop.image, res)),
             "masks": _resize512(crop.mask, res).astype(np.float32),
             "masked_images": _normalize(_resize512(crop.masked_image, res)),
-            "glyph_image": glyph,
+            # condition on the (possibly truncated) visible text, matching
+            # the manifest dataset and the reference (draw_text on the
+            # truncated string, train_diffute_v1.py:491)
+            "glyph_image": render_glyph(crop.text, cfg.glyph),
         }
 
 

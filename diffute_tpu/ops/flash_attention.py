@@ -301,13 +301,6 @@ def _flash_bwd_3d(q, k, v, o, lse, do, scale, block_q, block_kv):
 # ---------------------------------------------------------------------------
 
 
-def _reference_attention(q, k, v, scale):
-    logits = jnp.einsum("bshd,bthd->bhst", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhst,bthd->bshd", weights, v)
-
-
 def _to3d(x):
     b, s, h, d = x.shape
     return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)

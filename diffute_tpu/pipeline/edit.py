@@ -14,11 +14,15 @@ one CUDA launch sequence per iteration); here the entire sampler runs inside
 a single XLA executable per (steps, sampler, flags) signature — no host
 round-trips (BASELINE.json north star).
 
-Reference-parity mode (defaults): no classifier-free guidance (the reference
-defines --guidance_scale but never applies it, train_diffute_v1.py:915-917),
-no masked-latent blending (the inpaint constraint rides the 9-channel input
-only).  Both are available opt-in via EditConfig — CFG conditions on the
-empty-string glyph as the null embedding.
+Reference-parity notes: no classifier-free guidance by default (the
+reference defines --guidance_scale but never applies it,
+train_diffute_v1.py:915-917) and no masked-latent blending (the inpaint
+constraint rides the 9-channel input only); both are opt-in via EditConfig —
+CFG conditions on the empty-string glyph as the null embedding.  The default
+SAMPLER is the north-star 50-step DDIM (BASELINE.json config 3); the
+reference's demo samples DDPM-ancestral at 150 steps — use
+``EditConfig(sampler="ddpm", num_inference_steps=150)`` for
+reference-faithful sampling.
 """
 
 from __future__ import annotations
@@ -43,11 +47,7 @@ from diffute_tpu.diffusion import (
 from diffute_tpu.models import AutoencoderKL, TrOCREncoder, UNet2DCondition
 from diffute_tpu.models.vae import sample_latent
 from diffute_tpu.pipeline.crop import infer_crop_params, paste_back
-from diffute_tpu.pipeline.regions import (
-    generate_mask,
-    make_masked_image,
-    process_location,
-)
+from diffute_tpu.pipeline.regions import generate_mask, make_masked_image
 from diffute_tpu.text import render_glyph, trocr_normalize, trocr_preprocess_host
 
 
@@ -99,7 +99,15 @@ class DiffUTEPipeline:
             from diffute_tpu.parallel import replicated_sharding
 
             params = jax.device_put(params, replicated_sharding(mesh))
+        else:
+            # checkpoint loaders return numpy trees; place them on device ONCE
+            # (numpy args to a jitted fn re-upload every call)
+            params = jax.device_put(params)
         self.params = params
+        # stage caches: prep keyed by (blend, use_cfg), decode shared, loop by
+        # the full signature — only the loop recompiles for a new step count
+        self._prep_cache = {}
+        self._decode = jax.jit(self._device_decode)
         self._compiled = {}
 
     # ------------------------------------------------------------------
@@ -314,11 +322,15 @@ class DiffUTEPipeline:
         use_cfg = guidance_scale > 1.0
         sig = (num_steps, sampler, guidance_scale, blend, reuse_interval)
         if sig not in self._compiled:
-            prep = jax.jit(functools.partial(self._device_prep, blend, use_cfg))
+            prep_sig = (blend, use_cfg)
+            if prep_sig not in self._prep_cache:
+                self._prep_cache[prep_sig] = jax.jit(
+                    functools.partial(self._device_prep, blend, use_cfg))
+            prep = self._prep_cache[prep_sig]
             loop = jax.jit(functools.partial(
                 self._device_loop, num_steps, sampler, guidance_scale, blend,
                 reuse_interval))
-            decode = jax.jit(self._device_decode)
+            decode = self._decode
 
             def run(params, crop_u8, mask_u8, masked_u8, glyph_u8,
                     null_glyph_u8, key):
@@ -424,8 +436,12 @@ class DiffUTEPipeline:
     # ------------------------------------------------------------------
 
     def _prepare_region(self, image, box, text, res, rng):
+        # NOTE: the reference defines process_location (the +10% box
+        # extension) but only CALLS it in training (train_diffute_v1.py:454);
+        # text_editing uses the raw box (app.ipynb:663-665).  We match that:
+        # no extension at inference.
         h, w = image.shape[:2]
-        location = process_location(np.int32(box), (h, w))
+        location = np.int32(box)
         mask = generate_mask((h, w), location)
         masked = make_masked_image(image, mask)
 

@@ -3,14 +3,18 @@
 Accepts the directory structure the reference trains into / loads from
 (train_diffute_v1.py:628-635): ``unet/`` (or ``unet_ema/``), ``vae/`` with
 ``diffusion_pytorch_model.safetensors``, plus an optional ``trocr/`` export
-(``model.safetensors`` in transformers naming).  Missing components fall
-back to random init so partial checkpoints remain usable.
+(``model.safetensors`` in transformers naming).  Only MISSING components are
+random-initialized (full-size inits cost minutes of compile on the remote
+TPU service — never pay them for weights that are about to be overwritten).
 """
 
 from __future__ import annotations
 
 import os
 from typing import Dict
+
+import jax
+import jax.numpy as jnp
 
 from diffute_tpu.compat import (
     import_trocr_state_dict,
@@ -19,27 +23,49 @@ from diffute_tpu.compat import (
     load_safetensors,
 )
 from diffute_tpu.config import DiffUTEConfig
-from diffute_tpu.utils import init_pipeline_params
+from diffute_tpu.models import AutoencoderKL, TrOCREncoder, UNet2DCondition
+
+
+def _find(path: str, sub: str, names) -> str | None:
+    for n in names:
+        p = os.path.join(path, sub, n)
+        if os.path.exists(p):
+            return p
+    return None
 
 
 def load_diffusers_layout(path: str, config: DiffUTEConfig) -> Dict[str, dict]:
-    params = init_pipeline_params(config)
+    params: Dict[str, dict] = {}
 
-    def find(sub, names):
-        for n in names:
-            p = os.path.join(path, sub, n)
-            if os.path.exists(p):
-                return p
-        return None
-
-    unet_f = (find("unet_ema", ["diffusion_pytorch_model.safetensors"]) or
-              find("unet", ["diffusion_pytorch_model.safetensors"]))
+    unet_f = (_find(path, "unet_ema", ["diffusion_pytorch_model.safetensors"]) or
+              _find(path, "unet", ["diffusion_pytorch_model.safetensors"]))
     if unet_f:
         params["unet"] = import_unet_state_dict(load_safetensors(unet_f))
-    vae_f = find("vae", ["diffusion_pytorch_model.safetensors"])
+    vae_f = _find(path, "vae", ["diffusion_pytorch_model.safetensors"])
     if vae_f:
         params["vae"] = import_vae_state_dict(load_safetensors(vae_f))
-    trocr_f = find("trocr", ["model.safetensors"])
+    trocr_f = _find(path, "trocr", ["model.safetensors"])
     if trocr_f:
         params["trocr"] = import_trocr_state_dict(load_safetensors(trocr_f))
+
+    # random-init only the components the checkpoint does not provide
+    res = config.edit.resolution
+    lat = res // config.vae.scale_factor
+    k = jax.random.PRNGKey(0)
+    if "vae" not in params:
+        vae = AutoencoderKL(config.vae)
+        params["vae"] = jax.jit(vae.init)(
+            k, jnp.zeros((1, res, res, 3)), k)["params"]
+    if "unet" not in params:
+        unet = UNet2DCondition(config.unet)
+        params["unet"] = jax.jit(unet.init)(
+            k, jnp.zeros((1, lat, lat, config.unet.in_channels)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, config.trocr.seq_len,
+                       config.trocr.hidden_size)))["params"]
+    if "trocr" not in params:
+        trocr = TrOCREncoder(config.trocr)
+        params["trocr"] = jax.jit(trocr.init)(
+            k, jnp.zeros((1, config.trocr.image_size,
+                          config.trocr.image_size, 3)))["params"]
     return params

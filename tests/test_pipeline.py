@@ -52,10 +52,10 @@ def test_edit_runs_and_changes_only_bbox(pipe, scene):
     ys, xs = np.where(changed)
     assert len(ys) > 0  # something was edited
     x1, y1, x2, y2 = box
-    # box is extended down by 10% of its height by process_location
-    y2e = y2 + (y2 - y1) // 10
+    # the raw box bounds all changes (the reference applies its +10% box
+    # extension only in training, never in text_editing)
     assert xs.min() >= x1 and xs.max() < x2
-    assert ys.min() >= y1 and ys.max() <= y2e
+    assert ys.min() >= y1 and ys.max() < y2
 
 
 def test_edit_deterministic_for_seed(pipe, scene):

@@ -25,9 +25,8 @@ def test_edit_multi_regions(pipe):
     # every region changed something; nothing outside the union of boxes
     union = np.zeros(img.shape[:2], bool)
     for (x1, y1, x2, y2), _ in regions:
-        y2e = y2 + (y2 - y1) // 10 + 1
-        assert changed[y1:y2e, x1:x2].any()
-        union[y1:y2e, x1:x2] = True
+        assert changed[y1:y2, x1:x2].any()
+        union[y1:y2, x1:x2] = True
     assert not (changed & ~union).any()
 
 
