@@ -169,6 +169,8 @@ def ddpm_timesteps(schedule: DiffusionSchedule, num_inference_steps: int) -> np.
 def ddim_timesteps(schedule: DiffusionSchedule, num_inference_steps: int) -> np.ndarray:
     """Descending timesteps for DDIM ("leading" spacing + steps_offset)."""
     T = schedule.num_train_timesteps
+    if num_inference_steps > T:
+        raise ValueError(f"num_inference_steps {num_inference_steps} > {T}")
     step_ratio = T // num_inference_steps
     ts = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1]
     ts = ts + schedule.steps_offset

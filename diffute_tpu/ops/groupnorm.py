@@ -104,6 +104,29 @@ def group_norm_silu(
     if (not use_pallas or c % groups != 0
             or slab_bytes > _VMEM_SLAB_LIMIT):
         return _xla_gn_silu(x, scale, bias, groups, eps)
+    return _pallas_gn_silu(x, scale, bias, groups, eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _pallas_gn_silu(x, scale, bias, groups, eps):
+    """Pallas forward with an XLA-math backward so the fused kernel remains
+    usable under jax.grad (training with use_fused_groupnorm on)."""
+    return _pallas_gn_silu_fwd_impl(x, scale, bias, groups, eps)
+
+
+def _pallas_gn_silu_fwd(x, scale, bias, groups, eps):
+    return _pallas_gn_silu_fwd_impl(x, scale, bias, groups, eps), (x, scale, bias)
+
+
+def _pallas_gn_silu_bwd(groups, eps, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(lambda x, s, b: _xla_gn_silu(x, s, b, groups, eps),
+                     x, scale, bias)
+    return vjp(g)
+
+
+def _pallas_gn_silu_fwd_impl(x, scale, bias, groups, eps):
+    b, h, w, c = x.shape
 
     hw = h * w
     chunk = hw
@@ -138,3 +161,6 @@ def group_norm_silu(
     )(x3, scale.reshape(1, c), bias.reshape(1, c),
       jnp.asarray(cg), jnp.asarray(gc))
     return out.reshape(b, h, w, c)
+
+
+_pallas_gn_silu.defvjp(_pallas_gn_silu_fwd, _pallas_gn_silu_bwd)

@@ -36,8 +36,10 @@ def save_checkpoint(output_dir: str, step: int, state: Any,
     train_diffute_v1.py:296-304)."""
     path = os.path.join(os.path.abspath(output_dir), f"checkpoint-{step}")
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(path, "state"),
-               jax.tree_util.tree_map(np.asarray, state))
+    # hand orbax the (possibly sharded) device arrays directly — a host
+    # gather via np.asarray would break multi-host/ZeRO-sharded state and
+    # stall training on a synchronous device->host copy
+    ckptr.save(os.path.join(path, "state"), state)
     ckptr.wait_until_finished()
     if total_limit:
         ckpts = list_checkpoints(output_dir)
@@ -62,7 +64,7 @@ def restore_checkpoint(path: str, target: Any) -> Any:
     """Restore into the structure of ``target`` (a matching state pytree)."""
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.join(os.path.abspath(path), "state"),
-                         target=jax.tree_util.tree_map(np.asarray, target))
+                         target=target)
 
 
 def resolve_resume(output_dir: str, resume: Optional[str]) -> Optional[str]:

@@ -119,12 +119,15 @@ def main():
 
     loader = PrefetchLoader(dataset, batch_size, collate,
                             num_threads=max(1, args.dataloader_num_workers),
-                            seed=args.seed)
+                            seed=args.seed + start_step)
 
     writer = MetricWriter(os.path.join(args.output_dir, args.logging_dir)
                           if args.report_to == "tensorboard" else None)
     timer = StepTimer()
-    key = jax.random.PRNGKey(args.seed)
+    # Fold the resume step into the RNG stream so a resumed run continues
+    # with fresh batches/noise instead of replaying the first N steps (the
+    # reference skips consumed batches instead, train_diffute_v1.py:862-866).
+    key = jax.random.fold_in(jax.random.PRNGKey(args.seed), start_step)
     step = start_step
     for batch in loader:
         if step >= max_steps:

@@ -26,6 +26,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from diffute_tpu.config import DiffUTEConfig
 from diffute_tpu.diffusion import add_noise, make_schedule, training_target
@@ -58,14 +59,25 @@ def make_unet_train_step(
     With gradient_accumulation_steps > 1 the caller passes
     (accum, micro, ...) leading dims instead and the step scans.
     """
+    accum = config.train.gradient_accumulation_steps
+    bf16 = config.train.mixed_precision == "bf16"
+    if bf16:
+        # the module dtype must be bf16 too: Flax layers promote operands to
+        # their own dtype, so bf16 params with dtype=fp32 modules would be
+        # silently upcast and compute in fp32
+        import dataclasses as _dc
+
+        config = _dc.replace(
+            config,
+            vae=_dc.replace(config.vae, dtype=jnp.bfloat16),
+            unet=_dc.replace(config.unet, dtype=jnp.bfloat16),
+            trocr=_dc.replace(config.trocr, dtype=jnp.bfloat16))
     vae = AutoencoderKL(config.vae)
     unet = UNet2DCondition(config.unet)
     trocr = TrOCREncoder(config.trocr)
     schedule = make_schedule(config.scheduler)
     sf = config.vae.scaling_factor
     f = config.vae.scale_factor
-    accum = config.train.gradient_accumulation_steps
-    bf16 = config.train.mixed_precision == "bf16"
     T = config.scheduler.num_train_timesteps
     noise_offset = config.train.noise_offset
 
@@ -138,17 +150,12 @@ def make_unet_train_step(
             lambda p, u: p + u, state.params, updates)
         new_ema = (ema_update(state.ema, new_params, config.train.ema_decay)
                    if state.ema is not None else None)
-        grad_norm = optax_global_norm(grads)
+        grad_norm = optax.global_norm(grads)
         new_state = TrainState(params=new_params, opt_state=new_opt,
                                step=state.step + 1, ema=new_ema)
         return new_state, {"loss": loss, "grad_norm": grad_norm}
 
     return train_step
-
-
-def optax_global_norm(tree) -> jax.Array:
-    return jnp.sqrt(sum(jnp.sum(jnp.square(x))
-                        for x in jax.tree_util.tree_leaves(tree)))
 
 
 class UNetTrainer:

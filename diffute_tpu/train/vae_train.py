@@ -18,15 +18,24 @@ from diffute_tpu.config import DiffUTEConfig
 from diffute_tpu.models import AutoencoderKL
 from diffute_tpu.models.ema import ema_update
 from diffute_tpu.parallel import make_mesh, shard_batch
+import optax
+
 from diffute_tpu.train.optim import build_optimizer
 from diffute_tpu.train.state import TrainState
-from diffute_tpu.train.unet_train import optax_global_norm
 
 
 def make_vae_train_step(config: DiffUTEConfig, tx) -> Callable:
-    """Batch layout: pixel_values (B, R, R, 3) float32 in [-1, 1]."""
-    vae = AutoencoderKL(config.vae)
+    """Batch layout: pixel_values (B, R, R, 3) float32 in [-1, 1]; with
+    gradient_accumulation_steps > 1, (accum, micro, R, R, 3)."""
     bf16 = config.train.mixed_precision == "bf16"
+    accum = config.train.gradient_accumulation_steps
+    if bf16:
+        import dataclasses as _dc
+
+        # see unet_train: module dtype must match or Flax upcasts to fp32
+        config = _dc.replace(
+            config, vae=_dc.replace(config.vae, dtype=jnp.bfloat16))
+    vae = AutoencoderKL(config.vae)
 
     def loss_fn(params, micro, rng):
         dtype = jnp.bfloat16 if bf16 else jnp.float32
@@ -39,7 +48,22 @@ def make_vae_train_step(config: DiffUTEConfig, tx) -> Callable:
     grad_fn = jax.value_and_grad(loss_fn)
 
     def train_step(state: TrainState, batch, rng):
-        loss, grads = grad_fn(state.params, batch, rng)
+        if accum > 1:
+            def micro_step(carry, xs):
+                loss_acc, grad_acc = carry
+                micro, k = xs
+                loss, grads = grad_fn(state.params, micro, k)
+                return (loss_acc + loss,
+                        jax.tree_util.tree_map(jnp.add, grad_acc, grads)), None
+
+            keys = jax.random.split(rng, accum)
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                micro_step, (jnp.zeros(()), zero), (batch, keys))
+            loss = loss_sum / accum
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grad_sum)
+        else:
+            loss, grads = grad_fn(state.params, batch, rng)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree_util.tree_map(lambda p, u: p + u,
                                             state.params, updates)
@@ -47,7 +71,7 @@ def make_vae_train_step(config: DiffUTEConfig, tx) -> Callable:
                    if state.ema is not None else None)
         new_state = TrainState(params=new_params, opt_state=new_opt,
                                step=state.step + 1, ema=new_ema)
-        return new_state, {"loss": loss, "grad_norm": optax_global_norm(grads)}
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
 
     return train_step
 
@@ -58,7 +82,8 @@ class VAETrainer:
         self.config = config
         self.mesh = mesh or make_mesh(config.train.dp_size)
         total = total_steps or config.train.max_train_steps or 10_000
-        tbs = config.train.train_batch_size * self.mesh.devices.size
+        tbs = (config.train.train_batch_size * self.mesh.devices.size
+               * config.train.gradient_accumulation_steps)
         self.tx = build_optimizer(config.train.optimizer, total, tbs)
         self.state = TrainState.create(vae_params, self.tx,
                                        use_ema=config.train.use_ema)
@@ -66,6 +91,7 @@ class VAETrainer:
                              donate_argnums=(0,))
 
     def step(self, batch: Dict[str, np.ndarray], rng) -> Dict[str, float]:
-        batch = shard_batch(self.mesh, batch)
+        accum = self.config.train.gradient_accumulation_steps
+        batch = shard_batch(self.mesh, batch, batch_axis=1 if accum > 1 else 0)
         self.state, metrics = self._step(self.state, batch, rng)
         return metrics
