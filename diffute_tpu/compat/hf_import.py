@@ -211,12 +211,11 @@ def import_trocr_state_dict(state_dict: Mapping[str, np.ndarray]) -> Params:
 # ---------------------------------------------------------------------------
 
 
-def _export(params: Mapping, rewrites) -> Dict[str, np.ndarray]:
-    """Invert the import mapping by replaying it over candidate names."""
+def _export(params: Mapping) -> Dict[str, np.ndarray]:
+    """Invert the import mapping: reconstruct diffusers dotted keys from the
+    flax paths via string surgery (the hard-coded inverse of the forward
+    rewrite grammar — both UNet and VAE names are covered)."""
     out: Dict[str, np.ndarray] = {}
-    # Build the inverse by brute force: for each flax path, reconstruct the
-    # diffusers dotted key via string surgery (the forward rewrites are
-    # invertible on the name grammar we emit).
     for path, value in _iter_paths(params):
         leaf = path[-1]
         torch_leaf, arr = _deconvert_tensor(leaf, value)
@@ -238,12 +237,12 @@ def _export(params: Mapping, rewrites) -> Dict[str, np.ndarray]:
 
 def export_unet_params(params: Mapping) -> Dict[str, np.ndarray]:
     """Flax UNet params -> diffusers UNet2DConditionModel state_dict (numpy)."""
-    return _export(params, _DIFFUSERS_REWRITES)
+    return _export(params)
 
 
 def export_vae_params(params: Mapping) -> Dict[str, np.ndarray]:
     """Flax AutoencoderKL params -> diffusers AutoencoderKL state_dict."""
-    return _export(params, _VAE_ATTN_REWRITES)
+    return _export(params)
 
 
 # ---------------------------------------------------------------------------

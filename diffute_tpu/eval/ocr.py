@@ -43,7 +43,9 @@ class OCRVerifier:
         self.encoder_config = encoder_config
         self.tokenizer = tokenizer
         self.max_len = max_len
-        self._params = {"enc": encoder_params, "dec": decoder_params}
+        # place once: numpy trees passed to a jitted fn re-upload every call
+        self._params = jax.device_put(
+            {"enc": encoder_params, "dec": decoder_params})
 
         def run(enc_params, dec_params, pixels_u8):
             enc = self.encoder.apply({"params": enc_params},

@@ -105,11 +105,13 @@ class BasicTransformerBlock(nn.Module):
     def setup(self):
         attn_kw = dict(num_heads=self.num_heads, head_dim=self.head_dim,
                        dtype=self.dtype, use_flash=self.use_flash)
-        self.norm1 = nn.LayerNorm(dtype=self.dtype)
+        # torch nn.LayerNorm default eps (the SD2 checkpoints' value) is
+        # 1e-5; flax's default is 1e-6
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.attn1 = Attention(**attn_kw)
-        self.norm2 = nn.LayerNorm(dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.attn2 = Attention(**attn_kw)
-        self.norm3 = nn.LayerNorm(dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.ff = FeedForward(self.num_heads * self.head_dim, dtype=self.dtype)
 
     def cross_kv(self, context: jax.Array) -> KV:

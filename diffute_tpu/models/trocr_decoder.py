@@ -86,14 +86,14 @@ class _DecoderLayer(nn.Module):
     def __call__(self, x, enc):
         cfg = self.config
         x = x + _DecAttention(cfg, causal=True, name="self_attn")(x, x)
-        x = nn.LayerNorm(dtype=cfg.dtype, name="self_attn_layer_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="self_attn_layer_norm")(x)
         x = x + _DecAttention(cfg, causal=False, name="encoder_attn")(x, enc)
-        x = nn.LayerNorm(dtype=cfg.dtype, name="encoder_attn_layer_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="encoder_attn_layer_norm")(x)
         h = nn.Dense(cfg.decoder_ffn_dim, dtype=cfg.dtype, name="fc1")(x)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="fc2")(h)
         x = x + h
-        return nn.LayerNorm(dtype=cfg.dtype, name="final_layer_norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="final_layer_norm")(x)
 
 
 class TrOCRDecoder(nn.Module):
@@ -116,7 +116,7 @@ class TrOCRDecoder(nn.Module):
         L = input_ids.shape[1]
         x = x + pos_table[2 : 2 + L][None]
         if cfg.layernorm_embedding:
-            x = nn.LayerNorm(dtype=cfg.dtype, name="layernorm_embedding")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="layernorm_embedding")(x)
         for i in range(cfg.decoder_layers):
             x = _DecoderLayer(cfg, name=f"layers_{i}")(x, encoder_hidden_states)
         logits = jnp.einsum("blh,vh->blv", x, embed.astype(x.dtype))

@@ -46,18 +46,21 @@ def launch(checkpoint: Optional[str] = None, share: bool = False):
             "(python -m diffute_tpu.serve.cli)") from e
 
     pipe = build_pipeline(checkpoint)
-    roi = {"x_temp": 0, "y_temp": 0, "x_new": 0, "y_new": 0, "clicks": 0}
 
-    def get_select_coordinates(img, evt: "gr.SelectData"):
-        # two-click state machine (reference app.ipynb:860-884)
-        roi["clicks"] += 1
+    def get_select_coordinates(roi, evt: "gr.SelectData"):
+        # two-click state machine (reference app.ipynb:860-884), kept in
+        # per-session gr.State so concurrent users don't share clicks
+        roi = dict(roi)
+        roi["clicks"] = roi.get("clicks", 0) + 1
         if roi["clicks"] % 2 == 1:
             roi["x_temp"], roi["y_temp"] = evt.index
-            return img
-        roi["x_new"], roi["y_new"] = evt.index
-        return img
+        else:
+            roi["x_new"], roi["y_new"] = evt.index
+        return roi
 
-    def run_edit(img, text, steps):
+    def run_edit(img, text, steps, roi):
+        if roi.get("clicks", 0) < 2:
+            raise gr.Error("Click two corners of the text region first.")
         x0 = min(roi["x_temp"], roi["x_new"])
         y0 = min(roi["y_temp"], roi["y_new"])
         x1 = max(roi["x_temp"], roi["x_new"])
@@ -68,6 +71,7 @@ def launch(checkpoint: Optional[str] = None, share: bool = False):
 
     with gr.Blocks() as demo:
         gr.Markdown("# DiffUTE-TPU — scene text editing")
+        roi_state = gr.State({})
         with gr.Row():
             inp = gr.Image(label="input (click two corners of the region)")
             outp = gr.Image(label="edited")
@@ -75,8 +79,8 @@ def launch(checkpoint: Optional[str] = None, share: bool = False):
         text = gr.Textbox(label="replacement text")
         steps = gr.Slider(20, 200, value=150, step=1, label="denoising steps")
         btn = gr.Button("Edit")
-        inp.select(get_select_coordinates, [inp], inp)
-        btn.click(run_edit, [inp, text, steps], [outp, maskp])
+        inp.select(get_select_coordinates, [roi_state], roi_state)
+        btn.click(run_edit, [inp, text, steps, roi_state], [outp, maskp])
     demo.launch(share=share)
 
 

@@ -56,7 +56,10 @@ def main() -> None:
         params = init_pipeline_params(config)
     pipe = DiffUTEPipeline(config, params)
 
-    img = cv2.cvtColor(cv2.imread(args.image), cv2.COLOR_BGR2RGB)
+    raw = cv2.imread(args.image)
+    if raw is None:
+        raise SystemExit(f"could not read image: {args.image}")
+    img = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
     box = tuple(int(v) for v in args.box.split(","))
     out, mask = pipe.edit(np.asarray(img), box, args.text,
                           num_inference_steps=args.steps, seed=args.seed)

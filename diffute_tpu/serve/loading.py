@@ -14,7 +14,6 @@ import os
 from typing import Dict
 
 import jax
-import jax.numpy as jnp
 
 from diffute_tpu.compat import (
     import_trocr_state_dict,
@@ -23,7 +22,11 @@ from diffute_tpu.compat import (
     load_safetensors,
 )
 from diffute_tpu.config import DiffUTEConfig
-from diffute_tpu.models import AutoencoderKL, TrOCREncoder, UNet2DCondition
+from diffute_tpu.utils.params import (
+    init_trocr_params,
+    init_unet_params,
+    init_vae_params,
+)
 
 
 def _find(path: str, sub: str, names) -> str | None:
@@ -49,23 +52,11 @@ def load_diffusers_layout(path: str, config: DiffUTEConfig) -> Dict[str, dict]:
         params["trocr"] = import_trocr_state_dict(load_safetensors(trocr_f))
 
     # random-init only the components the checkpoint does not provide
-    res = config.edit.resolution
-    lat = res // config.vae.scale_factor
     k = jax.random.PRNGKey(0)
     if "vae" not in params:
-        vae = AutoencoderKL(config.vae)
-        params["vae"] = jax.jit(vae.init)(
-            k, jnp.zeros((1, res, res, 3)), k)["params"]
+        params["vae"] = init_vae_params(config, k)
     if "unet" not in params:
-        unet = UNet2DCondition(config.unet)
-        params["unet"] = jax.jit(unet.init)(
-            k, jnp.zeros((1, lat, lat, config.unet.in_channels)),
-            jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1, config.trocr.seq_len,
-                       config.trocr.hidden_size)))["params"]
+        params["unet"] = init_unet_params(config, k)
     if "trocr" not in params:
-        trocr = TrOCREncoder(config.trocr)
-        params["trocr"] = jax.jit(trocr.init)(
-            k, jnp.zeros((1, config.trocr.image_size,
-                          config.trocr.image_size, 3)))["params"]
+        params["trocr"] = init_trocr_params(config, k)
     return params
