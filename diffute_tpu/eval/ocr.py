@@ -24,6 +24,7 @@ from diffute_tpu.models.trocr_decoder import (
     TrOCRDecoder,
     TrOCRDecoderConfig,
     greedy_decode,
+    greedy_decode_cached,
 )
 from diffute_tpu.text import trocr_normalize, trocr_preprocess_host
 
@@ -37,6 +38,7 @@ class OCRVerifier:
         decoder_params,
         tokenizer=None,
         max_len: int = 32,
+        use_cache: bool = True,
     ):
         self.encoder = TrOCREncoder(encoder_config)
         self.decoder = TrOCRDecoder(decoder_config)
@@ -47,10 +49,12 @@ class OCRVerifier:
         self._params = jax.device_put(
             {"enc": encoder_params, "dec": decoder_params})
 
+        decode = greedy_decode_cached if use_cache else greedy_decode
+
         def run(enc_params, dec_params, pixels_u8):
             enc = self.encoder.apply({"params": enc_params},
                                      trocr_normalize(pixels_u8))
-            return greedy_decode(self.decoder, dec_params, enc, max_len)
+            return decode(self.decoder, dec_params, enc, max_len)
 
         self._run = jax.jit(run)
 

@@ -9,6 +9,7 @@ from diffute_tpu.models.trocr_decoder import (
     TrOCRDecoder,
     TrOCRDecoderConfig,
     greedy_decode,
+    greedy_decode_cached,
     import_trocr_decoder_state_dict,
 )
 
@@ -59,6 +60,17 @@ def test_greedy_decode_shapes_and_determinism():
     assert ids.shape == (2, 8)
     ids2 = greedy_decode(model, params, enc, max_len=8)
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids2))
+
+
+def test_cached_decode_matches_uncached():
+    cfg = _small_cfg()
+    model = TrOCRDecoder(cfg)
+    enc = jax.random.normal(jax.random.PRNGKey(7), (3, 9, 32))
+    params = model.init(jax.random.PRNGKey(8),
+                        jnp.zeros((3, 4), jnp.int32), enc)["params"]
+    ref = greedy_decode(model, params, enc, max_len=10)
+    fast = greedy_decode_cached(model, params, enc, max_len=10)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(fast))
 
 
 def test_greedy_decode_stops_at_eos():
