@@ -17,15 +17,29 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 # A100 reference-stack estimate (img/s) for 50-step 512^2 single-region edit.
 A100_BASELINE_IMG_PER_S = 0.55
+
+
+def _probe_backend(timeout_s: float = 150.0) -> tuple:
+    """Check in a subprocess (so a wedged TPU relay can't hang *this*
+    process) whether the default JAX backend initializes.  Returns
+    (backend_name_or_None, error_message_or_None)."""
+    code = "import jax; print(jax.default_backend())"
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None, f"backend init timed out after {timeout_s:.0f}s"
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()[-1:] or ["unknown error"]
+        return None, f"backend init failed: {tail[0]}"
+    return r.stdout.strip(), None
 
 
 def main() -> None:
@@ -48,8 +62,35 @@ def main() -> None:
     p.add_argument("--reuse", type=int, default=1,
                    help="encoder propagation interval (Faster Diffusion); "
                         "1 = exact sampling")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (tiny smoke fallback)")
+    p.add_argument("--probe-timeout", type=float, default=150.0)
     args = p.parse_args()
 
+    # Probe the backend BEFORE importing jax here: a wedged axon relay makes
+    # jax.devices() hang forever, and the driver needs a parseable JSON line
+    # either way (VERDICT r1 weak #2).
+    error = None
+    if args.cpu:
+        backend = "cpu"
+    else:
+        backend, error = _probe_backend(args.probe_timeout)
+        if backend is None:
+            backend = "cpu"
+            args.tiny = True  # fall back to a CPU-tiny smoke result
+
+    if backend == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if backend == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     jax.config.update("jax_default_prng_impl", "rbg")
 
     from diffute_tpu.config import (
@@ -90,27 +131,49 @@ def main() -> None:
     bw, bh = res // 4, res // 12
     box = (w // 3, h // 3, w // 3 + bw, h // 3 + bh)
 
+    def run_once(tag: str):
+        if args.batch > 1:
+            # Real batched work: N independent images through one device pass.
+            items = [(img, box, f"{tag} {j}") for j in range(args.batch)]
+            pipe.edit_batch(items, num_inference_steps=args.steps)
+        else:
+            pipe.edit(img, box, tag, num_inference_steps=args.steps)
+
     for i in range(args.warmup):
-        pipe.edit(img, box, "BENCHMARK", num_inference_steps=args.steps)
+        run_once("BENCHMARK")
 
     dts = []
     for i in range(args.iters):
         t0 = time.perf_counter()
-        pipe.edit(img, box, f"BENCH {i}", num_inference_steps=args.steps)
+        run_once(f"BENCH {i}")
         dts.append(time.perf_counter() - t0)
     dt = min(dts)  # best-of-N: the tunnel adds variable per-call latency
 
     value = args.batch / dt
     reuse_tag = f", encoder-reuse k={args.reuse}" if args.reuse > 1 else ""
+    batch_tag = f", batch {args.batch}" if args.batch > 1 else ""
+    tiny_tag = ", TINY-CPU-FALLBACK" if (error or args.tiny) and backend == "cpu" else ""
     out = {
         "metric": f"images/sec/chip ({args.steps}-step {res}x{res} "
-                  f"{args.sampler} edit, {args.dtype}{reuse_tag})",
+                  f"{args.sampler} edit, {args.dtype}{reuse_tag}{batch_tag}"
+                  f"{tiny_tag})",
         "value": round(value, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(value / A100_BASELINE_IMG_PER_S, 3),
+        "backend": backend,
     }
+    if error:
+        out["error"] = error
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except Exception as e:  # never leave the driver without a JSON line
+        print(json.dumps({
+            "metric": "images/sec/chip (edit)", "value": 0.0,
+            "unit": "images/sec/chip", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }))
+        sys.exit(0)
