@@ -1,0 +1,279 @@
+"""Evaluation CLI: edit-fidelity + OCR round-trip report over a manifest.
+
+Operationalizes the check the reference sketches and comments out
+(app.ipynb:843-847): edit every example, then
+
+  - background fidelity: SSIM / PSNR between the edited and source image
+    with the edited region excluded (the edit must not disturb the rest of
+    the document), plus the mean |delta| inside the region (the edit must
+    actually do something);
+  - OCR round-trip: TrOCR (encoder + causal decoder) reads the edited
+    region.  With a tokenizer (``--tokenizer`` pointing at HF tokenizer
+    files) the decoded STRING is compared to the requested text.  Without
+    one (zero-egress image), the fallback compares the decoded token IDS
+    against TrOCR's reading of the rendered glyph of the requested text —
+    "does the edit read the same as the target text renders" — which needs
+    no vocabulary files.
+
+Usage:
+  python -m diffute_tpu.eval.run --synthetic 8 --steps 20 --out report.json
+  python -m diffute_tpu.eval.run --manifest doc_select.csv \\
+      --pretrained <diffusers-layout dir> --out report.json
+
+Writes one JSON report and prints it; ``--tiny`` runs the machinery with
+tiny random-init models (tests, smoke).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--manifest", default=None,
+                   help="CSV with image_path/ocr_path columns")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="evaluate on N procedural synthetic scenes instead")
+    p.add_argument("--pretrained", default=None,
+                   help="diffusers-layout dir (vae/ unet/ trocr/ "
+                        "[trocr_decoder/])")
+    p.add_argument("--tokenizer", default=None,
+                   help="HF tokenizer dir for string-level OCR comparison")
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max_examples", type=int, default=16)
+    p.add_argument("--out", default=None, help="report JSON path")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random-init models (machinery smoke)")
+    p.add_argument("--ocr_max_len", type=int, default=16)
+    return p.parse_args(argv)
+
+
+def _iter_synthetic(n: int, seed: int,
+                    image_hw=(384, 512)) -> Iterator[Tuple[np.ndarray, tuple, str]]:
+    """Raw (image, box, text) scenes — same recipe as SyntheticSceneDataset
+    but pre-crop, since eval drives the full edit pipeline."""
+    from diffute_tpu.io import hostops
+    from diffute_tpu.io.dataset import SyntheticSceneDataset
+    from diffute_tpu.text import render_glyph
+    from diffute_tpu.config import GlyphConfig
+
+    words = SyntheticSceneDataset._WORDS
+    h, w = image_hw
+    gcfg = GlyphConfig()
+    for k in range(n):
+        rng = np.random.default_rng((seed, k))
+        image = np.full((h, w, 3), int(rng.integers(180, 255)), np.uint8)
+        text = words[int(rng.integers(len(words)))]
+        glyph = render_glyph(text, gcfg)
+        gh, gw = glyph.shape[:2]
+        scale = min(1.0, (w * 0.5) / gw, (h * 0.25) / gh)
+        gw2, gh2 = max(16, int(gw * scale)), max(16, int(gh * scale))
+        glyph_s = hostops.resize_bilinear_u8(glyph, gh2, gw2)
+        y = int(rng.integers(0, h - gh2))
+        x = int(rng.integers(0, w - gw2))
+        image[y : y + gh2, x : x + gw2] = np.minimum(
+            image[y : y + gh2, x : x + gw2], glyph_s)
+        yield image, (x, y, x + gw2, y + gh2), text
+
+
+def _iter_manifest(manifest: str, seed: int,
+                   score_threshold: float) -> Iterator[Tuple[np.ndarray, tuple, str]]:
+    import pandas as pd
+
+    from diffute_tpu.io.storage import open_blob, read_image
+
+    df = pd.read_csv(manifest, low_memory=False)
+    for k, row in enumerate(df.itertuples()):
+        rng = np.random.default_rng((seed, k))
+        image = read_image(row.image_path)
+        with open_blob(row.ocr_path) as f:
+            ocr = json.loads(f.read())
+        regions = [r for r in ocr["document"]
+                   if r.get("score", 1.0) > score_threshold]
+        if not regions:
+            continue
+        region = regions[int(rng.integers(len(regions)))]
+        quad = np.asarray(region["box"], dtype=np.float32)
+        box = (int(quad[:, 0].min()), int(quad[:, 1].min()),
+               int(quad[:, 0].max()), int(quad[:, 1].max()))
+        yield image, box, region["text"]
+
+
+def _background_metrics(original: np.ndarray, edited: np.ndarray,
+                        mask_full: np.ndarray) -> dict:
+    """SSIM/PSNR with the edited region neutralized (both images get the
+    original's pixels there), plus the in-region mean |delta|."""
+    from diffute_tpu.eval import psnr, ssim
+
+    keep = mask_full == 0
+    edited_bg = np.where(keep[..., None], edited, original)
+    inside = np.abs(edited.astype(np.int32)
+                    - original.astype(np.int32))[mask_full > 0]
+    return {
+        "ssim_background": float(ssim(original, edited_bg)),
+        "psnr_background": float(psnr(original, edited_bg)),
+        "region_mean_abs_delta": float(inside.mean()) if inside.size else 0.0,
+    }
+
+
+def _id_match(a: np.ndarray, b: np.ndarray, eos_id: int) -> float:
+    """Fraction of positions (up to the first EOS in either) that agree."""
+    a, b = np.asarray(a), np.asarray(b)
+    stop = len(a)
+    for i, (x, y) in enumerate(zip(a, b)):
+        if x == eos_id or y == eos_id:
+            stop = i + 1
+            break
+    if stop == 0:
+        return 1.0
+    return float((a[:stop] == b[:stop]).mean())
+
+
+def build_models(args):
+    """(pipeline, verifier, config) for the requested scale/weights."""
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    from diffute_tpu.config import DiffUTEConfig, tiny_test_config
+    from diffute_tpu.eval import OCRVerifier
+    from diffute_tpu.models.trocr_decoder import TrOCRDecoder, TrOCRDecoderConfig
+    from diffute_tpu.pipeline import DiffUTEPipeline
+    from diffute_tpu.utils import init_pipeline_params
+
+    if args.tiny:
+        config = tiny_test_config()
+        dcfg = TrOCRDecoderConfig(
+            vocab_size=64, hidden_size=config.trocr.hidden_size,
+            decoder_layers=1, decoder_attention_heads=2, decoder_ffn_dim=32,
+            max_position_embeddings=64)
+    else:
+        config = DiffUTEConfig()
+        dcfg = TrOCRDecoderConfig()  # trocr-large-printed decoder
+
+    if args.pretrained:
+        from diffute_tpu.serve.loading import load_diffusers_layout
+
+        params = load_diffusers_layout(args.pretrained, config)
+    else:
+        params = init_pipeline_params(config, seed=args.seed)
+
+    decoder = TrOCRDecoder(dcfg)
+    dec_params = params.get("trocr_decoder")
+    if dec_params is None:
+        if args.pretrained:
+            import os
+
+            from diffute_tpu.compat.hf_import import load_safetensors
+            from diffute_tpu.models.trocr_decoder import (
+                import_trocr_decoder_state_dict)
+
+            dec_path = os.path.join(args.pretrained, "trocr_decoder",
+                                    "model.safetensors")
+            if os.path.exists(dec_path):
+                dec_params = import_trocr_decoder_state_dict(
+                    load_safetensors(dec_path))
+        if dec_params is None:
+            import jax.numpy as jnp
+
+            enc_seq = config.trocr.seq_len
+            dec_params = jax.jit(decoder.init)(
+                jax.random.PRNGKey(args.seed + 1),
+                jnp.zeros((1, 2), jnp.int32),
+                jnp.zeros((1, enc_seq, config.trocr.hidden_size)))["params"]
+
+    tokenizer = None
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+
+    pipe = DiffUTEPipeline(config, {k: params[k]
+                                    for k in ("vae", "unet", "trocr")})
+    verifier = OCRVerifier(config.trocr, dcfg, params["trocr"], dec_params,
+                           tokenizer=tokenizer, max_len=args.ocr_max_len)
+    return pipe, verifier, config
+
+
+def run_eval(args) -> dict:
+    from diffute_tpu.config import TrainConfig
+    from diffute_tpu.text import render_glyph
+
+    pipe, verifier, config = build_models(args)
+    eos_id = verifier.decoder.config.eos_token_id
+
+    if args.manifest:
+        examples = _iter_manifest(args.manifest, args.seed,
+                                  TrainConfig().ocr_score_threshold)
+    else:
+        examples = _iter_synthetic(max(1, args.synthetic or 4), args.seed)
+
+    rows = []
+    for i, (image, box, text) in enumerate(examples):
+        if i >= args.max_examples:
+            break
+        edited, mask255 = pipe.edit(image, box, text,
+                                    num_inference_steps=args.steps,
+                                    seed=args.seed)
+        row = _background_metrics(image, edited, mask255)
+        x1, y1, x2, y2 = box
+        region = edited[y1:y2, x1:x2]
+        ids_region = verifier.read([region])[0]
+        if verifier.tokenizer is not None:
+            decoded = verifier.read_text([region])[0]
+            norm = lambda s: "".join(s.split()).lower()
+            row["ocr_text"] = decoded
+            row["ocr_text_match"] = bool(norm(decoded) == norm(text))
+        # tokenizer-free fallback: compare against TrOCR's reading of the
+        # target text's glyph render (no vocab files needed)
+        glyph = render_glyph(text, config.glyph)
+        ids_glyph = verifier.read([glyph])[0]
+        row["ocr_id_match"] = _id_match(ids_region, ids_glyph, eos_id)
+        row["text"] = text
+        row["box"] = list(map(int, box))
+        rows.append(row)
+
+    if not rows:
+        raise ValueError("no evaluable examples (empty manifest or all "
+                         "regions below the OCR score threshold)")
+    report = {
+        "num_examples": len(rows),
+        "steps": args.steps,
+        "ssim_background_mean": float(np.mean([r["ssim_background"]
+                                               for r in rows])),
+        "psnr_background_mean": float(np.mean([r["psnr_background"]
+                                               for r in rows])),
+        "region_mean_abs_delta_mean": float(np.mean(
+            [r["region_mean_abs_delta"] for r in rows])),
+        "ocr_id_match_mean": float(np.mean([r["ocr_id_match"]
+                                            for r in rows])),
+        "ocr_mode": ("tokenizer" if verifier.tokenizer is not None
+                     else "glyph_id_fallback"),
+        "examples": rows,
+    }
+    if verifier.tokenizer is not None:
+        report["ocr_text_match_rate"] = float(np.mean(
+            [r["ocr_text_match"] for r in rows]))
+    return report
+
+
+def main(argv=None) -> dict:
+    args = parse_args(argv)
+    report = run_eval(args)
+    out = json.dumps(report, indent=2)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out)
+    print(out)
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -209,31 +209,102 @@ def make_vae_batch(examples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarra
     return {"pixel_values": np.stack([e["pixel_values"] for e in examples])}
 
 
+# Epoch-shuffle permutations above this dataset size would cost GBs of
+# host memory; such datasets (e.g. the 2^30-example synthetic stream) fall
+# back to with-replacement sampling, which is statistically equivalent there.
+_EPOCH_SHUFFLE_MAX = 1 << 24
+
+
 class PrefetchLoader:
-    """Thread-pool batch producer overlapping host decode with device steps."""
+    """Thread-pool batch producer overlapping host decode with device steps.
+
+    Sampling (``shuffle``):
+      - ``"epoch"``: a fresh shuffled permutation per epoch, every index
+        visited exactly once per epoch — the reference's shuffled DataLoader
+        epoch semantics (train_diffute_v1.py:757-763,858).  The trailing
+        partial batch is dropped (jit'd steps need static shapes).
+        ``num_epochs`` bounds iteration; ``start_epoch`` supports resume.
+      - ``"replacement"``: infinite i.i.d. sampling with replacement.
+      - ``None`` (default): "epoch" for real datasets, "replacement" for
+        datasets too large to permute (>= 2^24 examples).
+
+    Multi-host: pass ``process_index``/``process_count`` (e.g. from
+    ``jax.process_index()``/``jax.process_count()``) and each process draws
+    a disjoint interleaved shard of every epoch permutation (replacement
+    mode folds the rank into the seed) — the loader side of the reference's
+    DistributedSampler role.
+    """
 
     def __init__(self, dataset, batch_size: int, collate, num_threads: int = 4,
-                 prefetch: int = 4, seed: int = 0):
+                 prefetch: int = 4, seed: int = 0,
+                 shuffle: Optional[str] = None,
+                 num_epochs: Optional[int] = None, start_epoch: int = 0,
+                 process_index: int = 0, process_count: int = 1):
+        if shuffle not in (None, "epoch", "replacement"):
+            raise ValueError(f"shuffle must be 'epoch'/'replacement'/None, "
+                             f"got {shuffle!r}")
+        n = len(dataset)
+        if shuffle is None:
+            # auto: epoch semantics when a permutation is affordable AND the
+            # per-process shard fills at least one batch (tiny smoke
+            # manifests keep working via replacement sampling)
+            too_small = n // process_count < batch_size
+            shuffle = ("replacement" if n >= _EPOCH_SHUFFLE_MAX or too_small
+                       else "epoch")
+        elif shuffle == "epoch" and n // process_count < batch_size:
+            raise ValueError(
+                f"epoch shuffle needs >= one batch per process: "
+                f"{n} examples / {process_count} processes < "
+                f"batch_size {batch_size}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate = collate
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
         self.seed = seed
+        self.shuffle = shuffle
+        self.num_epochs = num_epochs
+        self.start_epoch = start_epoch
+        self.process_index = process_index
+        self.process_count = process_count
+
+    @property
+    def steps_per_epoch(self) -> int:
+        """Full batches per epoch on this process (epoch mode)."""
+        return (len(self.dataset) // self.process_count) // self.batch_size
+
+    def _index_batches(self) -> Iterator[List[int]]:
+        n = len(self.dataset)
+        if self.shuffle == "replacement":
+            rng = np.random.default_rng((self.seed, self.process_index))
+            while True:
+                yield [int(rng.integers(n)) for _ in range(self.batch_size)]
+        else:
+            epoch = self.start_epoch
+            while self.num_epochs is None or epoch < self.num_epochs:
+                # seeded by (seed, epoch) only: all processes draw the SAME
+                # permutation and slice disjoint interleaved shards of it
+                perm = np.random.default_rng((self.seed, epoch)).permutation(n)
+                shard = perm[self.process_index::self.process_count]
+                for i in range(0, len(shard) - self.batch_size + 1,
+                               self.batch_size):
+                    yield [int(j) for j in shard[i : i + self.batch_size]]
+                epoch += 1
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
-        rng = np.random.default_rng(self.seed)
-        n = len(self.dataset)
-        indices = iter(lambda: int(rng.integers(n)), None)
+        gen = self._index_batches()
         lock = threading.Lock()
         self.error_count = 0
 
         def worker():
             while not stop.is_set():
                 with lock:
-                    idx = [next(indices) for _ in range(self.batch_size)]
+                    idx = next(gen, None)
+                if idx is None:  # epoch budget exhausted
+                    q.put(None)
+                    return
                 try:
                     batch = self.collate([self.dataset[i] for i in idx])
                 except Exception as e:  # skip-on-decode-error (SURVEY.md §5.3)
@@ -243,14 +314,24 @@ class PrefetchLoader:
                               f"#{self.error_count}: {type(e).__name__}: {e}",
                               flush=True)
                     continue
-                q.put(batch)
+                while not stop.is_set():  # bounded put: notice consumer exit
+                    try:
+                        q.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_threads)]
         for t in threads:
             t.start()
+        finished = 0
         try:
-            while True:
-                yield q.get()
+            while finished < len(threads):
+                item = q.get()
+                if item is None:
+                    finished += 1
+                    continue
+                yield item
         finally:
             stop.set()

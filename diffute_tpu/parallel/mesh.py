@@ -66,8 +66,27 @@ def zero1_shardings(tree: Any, mesh: Mesh) -> Any:
 
 
 def shard_batch(mesh: Mesh, batch: Any, batch_axis: int = 0) -> Any:
-    """Place a host-global batch pytree onto the mesh, sharded along
-    ``batch_axis`` (axis 1 for (accum, micro, ...) layouts)."""
+    """Place a batch pytree onto the mesh, sharded along ``batch_axis``
+    (axis 1 for (accum, micro, ...) layouts).
+
+    Single-process: a plain sharded ``device_put`` of the host-global batch.
+    Multi-process (pod): each process passes its PROCESS-LOCAL shard (from a
+    rank-sharded :class:`~diffute_tpu.io.dataset.PrefetchLoader`) and the
+    pieces are assembled into one global array via
+    ``jax.make_array_from_process_local_data`` — a host-global device_put
+    would be wrong there (every process would upload a full copy claiming it
+    is the whole batch).
+    """
     spec = P(*((None,) * batch_axis + ("data",)))
     sh = NamedSharding(mesh, spec)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+    def put_local(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[:batch_axis]
+                        + (x.shape[batch_axis] * jax.process_count(),)
+                        + x.shape[batch_axis + 1:])
+        return jax.make_array_from_process_local_data(sh, x, global_shape)
+
+    return jax.tree_util.tree_map(put_local, batch)

@@ -1,10 +1,20 @@
 """Gradio demo — UI parity with the reference's app (app.ipynb:856-928).
 
-Two-click ROI selection on the uploaded image (odd/even click state machine
-like ``get_select_coordinates``, app.ipynb:860-884), a steps slider 20-200
-defaulting to 150 (app.ipynb:914), and the edited image + region mask as
-outputs.  gradio is not in the base image; the import is gated and the module
-degrades to a clear error message.
+Affordances matching the reference:
+  - two-click ROI selection with an ``gr.AnnotatedImage`` overlay (first
+    click: red point marker; second click: the completed region) —
+    app.ipynb:860-884,899;
+  - X0/Y0/X1/Y1 ``gr.Number`` boxes live-updated by the clicks (and
+    editable by hand, like the reference) — app.ipynb:906-907;
+  - an examples gallery seeding (text, image, steps, box) — app.ipynb:
+    905-912, with procedurally generated stand-in images;
+  - a 20-200 steps slider defaulting to 150 — app.ipynb:914.
+
+Improvement over the reference: click state lives in per-session
+``gr.State`` instead of a module-global dict, so concurrent users don't
+share clicks.  All callback logic is in serve/ui.py (gradio-free,
+unit-tested); gradio is not in this image, so the import is gated and the
+module degrades to a clear error message.
 
 Launch: ``python -m diffute_tpu.serve.app --checkpoint <diffusers-layout dir>``
 (random-init weights when omitted — layout/demo testing only).
@@ -13,9 +23,19 @@ Launch: ``python -m diffute_tpu.serve.app --checkpoint <diffusers-layout dir>``
 from __future__ import annotations
 
 import argparse
+import tempfile
 from typing import Optional
 
 import numpy as np
+
+from diffute_tpu.serve.ui import (
+    POINT_LABEL,
+    initial_roi_state,
+    make_examples,
+    roi_ready,
+    run_edit,
+    select_coordinates,
+)
 
 
 def build_pipeline(checkpoint: Optional[str] = None):
@@ -46,41 +66,55 @@ def launch(checkpoint: Optional[str] = None, share: bool = False):
             "(python -m diffute_tpu.serve.cli)") from e
 
     pipe = build_pipeline(checkpoint)
+    examples = make_examples(tempfile.mkdtemp(prefix="diffute_examples_"))
 
-    def get_select_coordinates(roi, evt: "gr.SelectData"):
-        # two-click state machine (reference app.ipynb:860-884), kept in
-        # per-session gr.State so concurrent users don't share clicks
-        roi = dict(roi)
-        roi["clicks"] = roi.get("clicks", 0) + 1
-        if roi["clicks"] % 2 == 1:
-            roi["x_temp"], roi["y_temp"] = evt.index
-        else:
-            roi["x_new"], roi["y_new"] = evt.index
-        return roi
+    def on_select(img, roi, evt: "gr.SelectData"):
+        roi, sections, (bx0, by0, bx1, by1) = select_coordinates(
+            roi, evt.index, np.asarray(img).shape[:2])
+        return roi, (img, sections), bx0, by0, bx1, by1
 
-    def run_edit(img, text, steps, roi):
-        if roi.get("clicks", 0) < 2:
-            raise gr.Error("Click two corners of the text region first.")
-        x0 = min(roi["x_temp"], roi["x_new"])
-        y0 = min(roi["y_temp"], roi["y_new"])
-        x1 = max(roi["x_temp"], roi["x_new"])
-        y1 = max(roi["y_temp"], roi["y_new"])
-        out, mask = pipe.edit(np.asarray(img), (x0, y0, x1, y1), text,
-                              num_inference_steps=int(steps))
-        return out, mask
+    def on_generate(img, text, steps, roi, bx0, by0, bx1, by1):
+        # the Number boxes are authoritative (they're example-seeded and
+        # hand-editable, like the reference); clicks only populate them
+        if not roi_ready(roi) and (bx1 - bx0) * (by1 - by0) <= 0:
+            raise gr.Error("Click two corners of the text region (or fill "
+                           "the X0/Y0/X1/Y1 boxes) first.")
+        try:
+            return run_edit(pipe, img, text, steps, bx0, by0, bx1, by1)
+        except ValueError as e:
+            raise gr.Error(str(e)) from e
 
     with gr.Blocks() as demo:
-        gr.Markdown("# DiffUTE-TPU — scene text editing")
-        roi_state = gr.State({})
-        with gr.Row():
-            inp = gr.Image(label="input (click two corners of the region)")
-            outp = gr.Image(label="edited")
-            maskp = gr.Image(label="mask")
-        text = gr.Textbox(label="replacement text")
-        steps = gr.Slider(20, 200, value=150, step=1, label="denoising steps")
-        btn = gr.Button("Edit")
-        inp.select(get_select_coordinates, [roi_state], roi_state)
-        btn.click(run_edit, [inp, text, steps, roi_state], [outp, maskp])
+        gr.Markdown("DiffUTE-TPU: Universal Text Editing Diffusion Model")
+        with gr.Tab("Text editing pipeline"):
+            roi_state = gr.State(initial_roi_state())
+            with gr.Row():
+                with gr.Column():
+                    ori_image = gr.Image(label="Original image")
+                    text_input = gr.Textbox(
+                        label="Input the text you want to write here")
+                    img_output = gr.AnnotatedImage(
+                        label="ROI", color_map={POINT_LABEL: "#f44336"})
+                    button = gr.Button("Generate", variant="primary")
+                    with gr.Row():
+                        x0 = gr.Number(label="X0")
+                        x1 = gr.Number(label="X1")
+                        y0 = gr.Number(label="Y0")
+                        y1 = gr.Number(label="Y1")
+                    steps = gr.Slider(
+                        20.0, 200.0, value=150, step=1, label="Inference step",
+                        info="The step of denoising process.")
+                    gr.Examples(
+                        examples,
+                        inputs=[text_input, ori_image, steps, x0, y0, x1, y1])
+                with gr.Column():
+                    output_img = gr.Image(label="Generated image")
+                    output_mask = gr.Image(label="Generated mask")
+        ori_image.select(on_select, [ori_image, roi_state],
+                         [roi_state, img_output, x0, y0, x1, y1])
+        button.click(on_generate,
+                     [ori_image, text_input, steps, roi_state, x0, y0, x1, y1],
+                     [output_img, output_mask])
     demo.launch(share=share)
 
 

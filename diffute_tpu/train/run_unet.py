@@ -26,7 +26,11 @@ def parse_args():
     p.add_argument("--output_dir", "--output-dir", default="diffute-unet")
     p.add_argument("--train_batch_size", type=int, default=16)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
-    p.add_argument("--max_train_steps", "--max-train-steps", type=int, default=10000)
+    p.add_argument("--max_train_steps", "--max-train-steps", type=int,
+                   default=None,
+                   help="overrides --num_train_epochs when set (reference "
+                        "semantics, train_diffute_v1.py:855-860)")
+    p.add_argument("--num_train_epochs", type=int, default=100)
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--lr_scheduler", default="constant")
     p.add_argument("--lr_warmup_steps", type=int, default=500)
@@ -83,11 +87,11 @@ def main():
 
     maybe_init_distributed()
 
-    max_steps = 2 if args.smoke else args.max_train_steps
     train_cfg = TrainConfig(
         train_batch_size=args.train_batch_size,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
-        max_train_steps=max_steps,
+        max_train_steps=args.max_train_steps,
+        num_train_epochs=args.num_train_epochs,
         mixed_precision=args.mixed_precision,
         gradient_checkpointing=args.gradient_checkpointing,
         use_ema=args.use_ema,
@@ -112,10 +116,12 @@ def main():
 
     if args.smoke:
         config = dataclasses.replace(tiny_test_config(), train=train_cfg)
-        batch_size = max(2, len(jax.devices()))
+        batch_size = max(2, jax.local_device_count())
     else:
         config = DiffUTEConfig(train=train_cfg)
-        batch_size = args.train_batch_size * len(jax.devices())
+        # per-PROCESS batch: train_batch_size per device, local devices only
+        # (multi-host pods assemble the global batch in shard_batch)
+        batch_size = args.train_batch_size * jax.local_device_count()
     if args.prediction_type:
         config = dataclasses.replace(
             config, scheduler=dataclasses.replace(
@@ -123,6 +129,31 @@ def main():
     if args.gradient_checkpointing:
         config = dataclasses.replace(
             config, unet=dataclasses.replace(config.unet, remat=True))
+
+    if args.manifest:
+        dataset = UNetManifestDataset(args.manifest, config, seed=args.seed)
+    else:
+        dataset = SyntheticSceneDataset(config, seed=args.seed)
+    accum = args.gradient_accumulation_steps
+
+    # Reference semantics (train_diffute_v1.py:855-860): max_train_steps
+    # wins when given, otherwise num_train_epochs over the dataset.
+    from diffute_tpu.io.dataset import _EPOCH_SHUFFLE_MAX
+
+    epoch_mode = len(dataset) < _EPOCH_SHUFFLE_MAX
+    steps_per_epoch = max(
+        1, len(dataset) // jax.process_count() // (batch_size * accum))
+    if args.smoke:
+        max_steps = 2
+    elif args.max_train_steps:
+        max_steps = args.max_train_steps
+    elif epoch_mode:
+        max_steps = args.num_train_epochs * steps_per_epoch
+    else:
+        max_steps = 10_000  # synthetic stream has no epochs
+    config = dataclasses.replace(
+        config, train=dataclasses.replace(config.train,
+                                          max_train_steps=max_steps))
 
     if args.pretrained:
         from diffute_tpu.serve.loading import load_diffusers_layout
@@ -142,12 +173,6 @@ def main():
         start_step = int(trainer.state.step)
         print(f"resumed from {resume} at step {start_step}")
 
-    if args.manifest:
-        dataset = UNetManifestDataset(args.manifest, config, seed=args.seed)
-    else:
-        dataset = SyntheticSceneDataset(config, seed=args.seed)
-    accum = args.gradient_accumulation_steps
-
     def collate(ex):
         b = make_unet_batch(ex, config)
         if accum > 1:
@@ -155,9 +180,15 @@ def main():
                  for k, v in b.items()}
         return b
 
-    loader = PrefetchLoader(dataset, batch_size * accum, collate,
-                            num_threads=max(1, args.dataloader_num_workers),
-                            seed=args.seed + start_step)
+    # Epoch mode resumes at the right epoch boundary; replacement mode folds
+    # the resume step into the seed so batches are fresh.
+    loader = PrefetchLoader(
+        dataset, batch_size * accum, collate,
+        num_threads=max(1, args.dataloader_num_workers),
+        seed=args.seed if epoch_mode else args.seed + start_step,
+        num_epochs=args.num_train_epochs if epoch_mode else None,
+        start_epoch=start_step // steps_per_epoch if epoch_mode else 0,
+        process_index=jax.process_index(), process_count=jax.process_count())
 
     writer = MetricWriter(os.path.join(args.output_dir, args.logging_dir)
                           if args.report_to == "tensorboard" else None)

@@ -19,7 +19,11 @@ def parse_args():
     p.add_argument("--pretrained", default=None)
     p.add_argument("--output_dir", "--output-dir", default="diffdoc-vae-512")
     p.add_argument("--train_batch_size", type=int, default=16)
-    p.add_argument("--max_train_steps", "--max-train-steps", type=int, default=350000)
+    p.add_argument("--max_train_steps", "--max-train-steps", type=int,
+                   default=None,
+                   help="overrides --num_train_epochs when set; the "
+                        "reference default is 350000 (train_vae.py)")
+    p.add_argument("--num_train_epochs", type=int, default=100)
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--lr_scheduler", default="constant")
     p.add_argument("--lr_warmup_steps", type=int, default=500)
@@ -63,10 +67,10 @@ def main():
 
     maybe_init_distributed()
 
-    max_steps = 2 if args.smoke else args.max_train_steps
     train_cfg = TrainConfig(
         train_batch_size=args.train_batch_size,
-        max_train_steps=max_steps,
+        max_train_steps=args.max_train_steps,
+        num_train_epochs=args.num_train_epochs,
         mixed_precision=args.mixed_precision,
         checkpointing_steps=args.checkpointing_steps,
         checkpoints_total_limit=args.checkpoints_total_limit,
@@ -85,13 +89,39 @@ def main():
 
     if args.smoke:
         config = dataclasses.replace(tiny_test_config(), train=train_cfg)
-        batch_size = max(2, len(jax.devices()))
+        batch_size = max(2, jax.local_device_count())
     else:
         config = DiffUTEConfig(train=train_cfg)
-        batch_size = args.train_batch_size * len(jax.devices())
+        # per-PROCESS batch (multi-host pods assemble the global batch in
+        # shard_batch)
+        batch_size = args.train_batch_size * jax.local_device_count()
     if args.gradient_checkpointing:
         config = dataclasses.replace(
             config, vae=dataclasses.replace(config.vae, remat=True))
+
+    if args.manifest:
+        dataset = VAEManifestDataset(args.manifest, config, seed=args.seed)
+    else:
+        dataset = SyntheticSceneDataset(config, seed=args.seed)
+
+    # Reference semantics: max_train_steps wins when given, otherwise
+    # num_train_epochs over the dataset (train_vae.py epoch loop).
+    from diffute_tpu.io.dataset import _EPOCH_SHUFFLE_MAX
+
+    epoch_mode = len(dataset) < _EPOCH_SHUFFLE_MAX
+    steps_per_epoch = max(
+        1, len(dataset) // jax.process_count() // batch_size)
+    if args.smoke:
+        max_steps = 2
+    elif args.max_train_steps:
+        max_steps = args.max_train_steps
+    elif epoch_mode:
+        max_steps = args.num_train_epochs * steps_per_epoch
+    else:
+        max_steps = 350_000  # reference default (synthetic stream, no epochs)
+    config = dataclasses.replace(
+        config, train=dataclasses.replace(config.train,
+                                          max_train_steps=max_steps))
 
     if args.pretrained:
         from diffute_tpu.serve.loading import load_diffusers_layout
@@ -109,17 +139,16 @@ def main():
         start_step = int(trainer.state.step)
         print(f"resumed from {resume} at step {start_step}")
 
-    if args.manifest:
-        dataset = VAEManifestDataset(args.manifest, config, seed=args.seed)
-    else:
-        dataset = SyntheticSceneDataset(config, seed=args.seed)
-
     def collate(ex):
         return make_vae_batch(ex)
 
-    loader = PrefetchLoader(dataset, batch_size, collate,
-                            num_threads=max(1, args.dataloader_num_workers),
-                            seed=args.seed + start_step)
+    loader = PrefetchLoader(
+        dataset, batch_size, collate,
+        num_threads=max(1, args.dataloader_num_workers),
+        seed=args.seed if epoch_mode else args.seed + start_step,
+        num_epochs=args.num_train_epochs if epoch_mode else None,
+        start_epoch=start_step // steps_per_epoch if epoch_mode else 0,
+        process_index=jax.process_index(), process_count=jax.process_count())
 
     writer = MetricWriter(os.path.join(args.output_dir, args.logging_dir)
                           if args.report_to == "tensorboard" else None)

@@ -125,3 +125,90 @@ def test_prefetch_loader(cfg):
     b2 = next(it)
     assert b1["pixel_values"].shape[0] == 2
     assert b2["glyph_pixels"].shape[0] == 2
+
+
+class _IndexDataset:
+    """Minimal dataset: example i is just {'i': i} (loader-semantics tests)."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"i": np.asarray(i)}
+
+
+def _collect_indices(batches):
+    return [int(v) for b in batches for v in b["i"]]
+
+
+def test_epoch_loader_visits_each_index_once_per_epoch():
+    ds = _IndexDataset(12)
+    loader = PrefetchLoader(ds, batch_size=3,
+                            collate=lambda ex: {"i": np.stack([e["i"] for e in ex])},
+                            num_threads=2, shuffle="epoch", num_epochs=2)
+    batches = list(loader)
+    assert len(batches) == 8  # 2 epochs x 4 batches
+    idx = _collect_indices(batches)
+    # every index appears exactly twice across the two epochs
+    assert sorted(idx) == sorted(list(range(12)) * 2)
+
+
+def test_epoch_loader_drops_partial_batch_and_reshuffles():
+    ds = _IndexDataset(10)  # batch 4 -> 2 full batches, 2 dropped per epoch
+    loader = PrefetchLoader(ds, batch_size=4,
+                            collate=lambda ex: {"i": np.stack([e["i"] for e in ex])},
+                            num_threads=1, shuffle="epoch", num_epochs=2, seed=7)
+    assert loader.steps_per_epoch == 2
+    batches = list(loader)
+    assert len(batches) == 4
+    e0, e1 = _collect_indices(batches[:2]), _collect_indices(batches[2:])
+    assert len(set(e0)) == 8 and len(set(e1)) == 8
+    assert e0 != e1  # fresh permutation per epoch
+
+
+def test_epoch_loader_process_shards_are_disjoint_and_cover():
+    ds = _IndexDataset(16)
+    collate = lambda ex: {"i": np.stack([e["i"] for e in ex])}
+    shard0 = _collect_indices(list(PrefetchLoader(
+        ds, 4, collate, num_threads=1, shuffle="epoch", num_epochs=1,
+        process_index=0, process_count=2)))
+    shard1 = _collect_indices(list(PrefetchLoader(
+        ds, 4, collate, num_threads=1, shuffle="epoch", num_epochs=1,
+        process_index=1, process_count=2)))
+    assert len(shard0) == 8 and len(shard1) == 8
+    assert set(shard0).isdisjoint(shard1)
+    assert sorted(shard0 + shard1) == list(range(16))
+
+
+def test_replacement_loader_differs_per_process():
+    ds = _IndexDataset(1000)
+    collate = lambda ex: {"i": np.stack([e["i"] for e in ex])}
+
+    def first_batch(rank):
+        it = iter(PrefetchLoader(ds, 8, collate, num_threads=1,
+                                 shuffle="replacement", process_index=rank,
+                                 process_count=2))
+        b = next(it)
+        it.close()
+        return [int(v) for v in b["i"]]
+
+    assert first_batch(0) != first_batch(1)
+
+
+def test_auto_shuffle_uses_replacement_for_huge_datasets(cfg):
+    huge = SyntheticSceneDataset(cfg)  # len 2^30
+    loader = PrefetchLoader(huge, 2, lambda ex: make_unet_batch(ex, cfg))
+    assert loader.shuffle == "replacement"
+    small = _IndexDataset(64)
+    loader = PrefetchLoader(small, 2, lambda ex: ex)
+    assert loader.shuffle == "epoch"
+
+
+def test_epoch_loader_rejects_batch_larger_than_shard():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        PrefetchLoader(_IndexDataset(4), 8, lambda ex: ex, shuffle="epoch")

@@ -60,3 +60,25 @@ def test_ocr_verifier_reads_ids():
     assert v.verify(region, "anything") is None  # no tokenizer available
     with pytest.raises(ValueError):
         v.read_text([region])
+
+
+def test_eval_cli_tiny_synthetic(tmp_path):
+    """The eval CLI end to end: tiny models, synthetic scenes, report JSON
+    (VERDICT r1 weak #6 — operationalizes app.ipynb:843-847)."""
+    import json
+
+    from diffute_tpu.eval.run import main
+
+    out = tmp_path / "report.json"
+    report = main(["--tiny", "--synthetic", "2", "--steps", "2",
+                   "--max_examples", "2", "--out", str(out)])
+    on_disk = json.loads(out.read_text())
+    assert on_disk["num_examples"] == 2
+    assert report["ocr_mode"] == "glyph_id_fallback"
+    assert 0.0 <= report["ocr_id_match_mean"] <= 1.0
+    assert -1.0 <= report["ssim_background_mean"] <= 1.0
+    assert report["psnr_background_mean"] > 0
+    for row in report["examples"]:
+        assert set(row) >= {"ssim_background", "psnr_background",
+                            "region_mean_abs_delta", "ocr_id_match",
+                            "text", "box"}

@@ -90,21 +90,48 @@ def test_unet_trainer_bf16(cfg, params):
     assert jax.tree_util.tree_leaves(trainer.state.params)[0].dtype == jnp.float32
 
 
-def test_unet_trainer_zero1_sharded_opt_state(cfg, params):
-    from jax.sharding import PartitionSpec as P
+def _device0_resident_bytes(tree):
+    """Bytes of ``tree`` actually resident on device 0 (per-device memory)."""
+    dev0 = jax.devices()[0]
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        for sh in getattr(leaf, "addressable_shards", []):
+            if sh.device == dev0:
+                total += sh.data.nbytes
+    return total
 
+
+def test_unet_trainer_zero1_sharded_opt_state(cfg, params):
     tc = dataclasses.replace(cfg.train, shard_optimizer_states=True)
     c = dataclasses.replace(cfg, train=tc)
     trainer = UNetTrainer(c, params["unet"],
                           {"vae": params["vae"], "trocr": params["trocr"]},
                           total_steps=10)
-    m = trainer.step(_unet_batch(cfg, 8), jax.random.PRNGKey(0))
+    baseline = UNetTrainer(cfg, params["unet"],
+                           {"vae": params["vae"], "trocr": params["trocr"]},
+                           total_steps=10)
+    batch = _unet_batch(cfg, 8)
+    m = trainer.step(batch, jax.random.PRNGKey(0))
+    mb = baseline.step(batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(m["loss"]))
-    # some adam moment leaf must actually be sharded over the data axis
+    # 1) metadata: some adam moment leaf is sharded over the data axis
     specs = [x.sharding.spec for x in
              jax.tree_util.tree_leaves(trainer.state.opt_state)
              if hasattr(x, "sharding")]
     assert any("data" in str(s) for s in specs), specs
+    # 2) memory: per-device optimizer state actually shrinks (8-way mesh;
+    #    most moment bytes shard 1/8, a few small leaves stay replicated)
+    z1 = _device0_resident_bytes(trainer.state.opt_state)
+    rep = _device0_resident_bytes(baseline.state.opt_state)
+    assert z1 < 0.5 * rep, (z1, rep)
+    # 3) math: the partitioned update computes the SAME step as the
+    #    replicated one
+    assert np.isclose(float(m["loss"]), float(mb["loss"]), rtol=1e-5)
+    a = jax.tree_util.tree_leaves(trainer.state.params)
+    b = jax.tree_util.tree_leaves(baseline.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-6)
 
 
 def test_vae_trainer_loss_decreases(cfg, params):
