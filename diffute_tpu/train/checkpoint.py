@@ -48,6 +48,71 @@ def save_checkpoint(output_dir: str, step: int, state: Any,
     return path
 
 
+class AsyncCheckpointManager:
+    """Zero-stall checkpointing: orbax AsyncCheckpointer for the train state
+    (device->host copy and serialization happen in the background while
+    training continues) plus a background thread for the diffusers-layout
+    export.  The reference's ``accelerator.save_state`` blocks the step loop
+    for the full serialization (train_diffute_v1.py:941-945); here only the
+    brief on-device snapshot is synchronous.
+
+    Ordering guarantees: a new ``save`` first waits for the previous one
+    (orbax serializes saves internally; the export thread is joined), so
+    rotation only ever removes finalized checkpoints, and ``wait()`` at the
+    end of training makes the last checkpoint durable before exit.
+    """
+
+    def __init__(self, output_dir: str, total_limit: Optional[int] = None):
+        self.output_dir = os.path.abspath(output_dir)
+        self.total_limit = total_limit
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        self._export_thread = None
+
+    def save(self, step: int, state: Any, export_fn=None,
+             export_args: Any = None) -> str:
+        """Kick off an async save of ``state`` under ``checkpoint-{step}``.
+
+        ``export_fn(path, host_args)`` (e.g. the diffusers-layout export)
+        runs on a background thread with ``host_args`` = ``export_args``
+        fetched to HOST memory synchronously here — the train steps DONATE
+        their state (unet_train.py:194), so any device array read after the
+        next step would hit a deleted buffer.  Returns the checkpoint path
+        immediately."""
+        import threading
+
+        if self._export_thread is not None:
+            self._export_thread.join()
+        # prior orbax save is finalized before a new one starts (orbax
+        # waits internally); rotate the old, all-finalized checkpoints
+        if self.total_limit:
+            keep = max(0, self.total_limit - 1)
+            ckpts = list_checkpoints(self.output_dir)
+            drop = ckpts if keep == 0 else ckpts[:-keep]
+            for old in drop:
+                shutil.rmtree(os.path.join(self.output_dir, old),
+                              ignore_errors=True)
+        path = os.path.join(self.output_dir, f"checkpoint-{step}")
+        self._ckptr.save(os.path.join(path, "state"),
+                         args=ocp.args.StandardSave(state))
+        if export_fn is not None:
+            host_args = (jax.device_get(export_args)
+                         if export_args is not None else None)
+            self._export_thread = threading.Thread(
+                target=export_fn, args=(path, host_args), daemon=False)
+            self._export_thread.start()
+        return path
+
+    def wait(self) -> None:
+        if self._export_thread is not None:
+            self._export_thread.join()
+            self._export_thread = None
+        self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        self.wait()
+        self._ckptr.close()
+
+
 def list_checkpoints(output_dir: str):
     if not os.path.isdir(output_dir):
         return []

@@ -79,8 +79,8 @@ def main():
     from diffute_tpu.parallel import maybe_init_distributed
     from diffute_tpu.train import UNetTrainer
     from diffute_tpu.train.checkpoint import (
-        diffusers_unet_config_json, export_diffusers_layout, resolve_resume,
-        restore_checkpoint, save_checkpoint)
+        AsyncCheckpointManager, diffusers_unet_config_json,
+        export_diffusers_layout, resolve_resume, restore_checkpoint)
     from diffute_tpu.utils import init_pipeline_params
     from diffute_tpu.utils.metrics import MetricWriter
     from diffute_tpu.utils.profiling import StepTimer
@@ -192,6 +192,8 @@ def main():
 
     writer = MetricWriter(os.path.join(args.output_dir, args.logging_dir)
                           if args.report_to == "tensorboard" else None)
+    ckpt_mgr = AsyncCheckpointManager(args.output_dir,
+                                      args.checkpoints_total_limit)
     timer = StepTimer()
     # Fold the resume step into the RNG stream so a resumed run continues
     # with fresh batches/noise instead of replaying the first N steps (the
@@ -216,17 +218,25 @@ def main():
                           "grad_norm": metrics["grad_norm"],
                           "steps_per_sec": 1.0 / timer.mean if timer.mean else 0.0})
         if step % args.checkpointing_steps == 0 or step >= max_steps:
-            path = save_checkpoint(args.output_dir, step, trainer.state,
-                                   args.checkpoints_total_limit)
-            export_diffusers_layout(
-                path,
-                unet_params=trainer.state.params,
-                unet_ema_params=(trainer.state.ema.params
-                                 if trainer.state.ema else None),
-                unet_config=diffusers_unet_config_json(config.unet))
+            # async: orbax snapshots to host synchronously (safe under the
+            # donated train state), persists + exports in the background
+            state = trainer.state
+            unet_cfg_json = diffusers_unet_config_json(config.unet)
+
+            def export(p, host, cfg_json=unet_cfg_json):
+                export_diffusers_layout(
+                    p, unet_params=host["params"],
+                    unet_ema_params=host["ema"],
+                    unet_config=cfg_json)
+
+            path = ckpt_mgr.save(
+                step, state, export_fn=export,
+                export_args={"params": state.params,
+                             "ema": state.ema.params if state.ema else None})
             print(f"saved {path}")
     if profiling:
         jax.profiler.stop_trace()
+    ckpt_mgr.wait()  # last checkpoint durable before exit
     writer.close()
     if step > start_step:
         print(f"done at step {step}; final loss {float(metrics['loss']):.4f}")

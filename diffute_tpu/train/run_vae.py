@@ -59,8 +59,8 @@ def main():
     from diffute_tpu.parallel import maybe_init_distributed
     from diffute_tpu.train import VAETrainer
     from diffute_tpu.train.checkpoint import (
-        diffusers_vae_config_json, export_diffusers_layout, resolve_resume,
-        restore_checkpoint, save_checkpoint)
+        AsyncCheckpointManager, diffusers_vae_config_json,
+        export_diffusers_layout, resolve_resume, restore_checkpoint)
     from diffute_tpu.utils import init_pipeline_params
     from diffute_tpu.utils.metrics import MetricWriter
     from diffute_tpu.utils.profiling import StepTimer
@@ -152,6 +152,8 @@ def main():
 
     writer = MetricWriter(os.path.join(args.output_dir, args.logging_dir)
                           if args.report_to == "tensorboard" else None)
+    ckpt_mgr = AsyncCheckpointManager(args.output_dir,
+                                      args.checkpoints_total_limit)
     timer = StepTimer()
     # Fold the resume step into the RNG stream so a resumed run continues
     # with fresh batches/noise instead of replaying the first N steps (the
@@ -169,12 +171,17 @@ def main():
                           "grad_norm": metrics["grad_norm"],
                           "steps_per_sec": 1.0 / timer.mean if timer.mean else 0.0})
         if step % args.checkpointing_steps == 0 or step >= max_steps:
-            path = save_checkpoint(args.output_dir, step, trainer.state,
-                                   args.checkpoints_total_limit)
-            export_diffusers_layout(
-                path, vae_params=trainer.state.params,
-                vae_config=diffusers_vae_config_json(config.vae))
+            state = trainer.state
+            vae_cfg_json = diffusers_vae_config_json(config.vae)
+
+            def export(p, host, cfg_json=vae_cfg_json):
+                export_diffusers_layout(p, vae_params=host,
+                                        vae_config=cfg_json)
+
+            path = ckpt_mgr.save(step, state, export_fn=export,
+                                 export_args=state.params)
             print(f"saved {path}")
+    ckpt_mgr.wait()  # last checkpoint durable before exit
     writer.close()
     if step > start_step:
         print(f"done at step {step}; final loss {float(metrics['loss']):.4f}")

