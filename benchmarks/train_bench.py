@@ -59,6 +59,7 @@ def main():
     trainer = UNetTrainer(cfg, params["unet"],
                           {"vae": params["vae"], "trocr": params["trocr"]},
                           total_steps=100)
+    del params  # free the original f32 trees (~5 GB); trainer holds copies
     rng = np.random.RandomState(0)
     B, res, g = args.batch, args.res, cfg.trocr.image_size
     batch = {
@@ -67,11 +68,18 @@ def main():
         "masked_images": rng.randn(B, res, res, 3).astype(np.float32).clip(-1, 1),
         "glyph_pixels": rng.randint(0, 255, (B, g, g, 3), dtype=np.uint8),
     }
-    m = trainer.step(batch, jax.random.PRNGKey(0))
+    # pre-place the batch like parallel.DevicePrefetcher delivers it in the
+    # real loop, so the number reflects the training step, not per-call
+    # host->device upload (which the prefetcher overlaps with compute)
+    from diffute_tpu.parallel import shard_batch
+
+    batch = shard_batch(trainer.mesh, batch)
+    keys = [jax.random.PRNGKey(i) for i in range(args.iters + 1)]
+    m = trainer.step(batch, keys[0])
     float(jax.device_get(m["loss"]))  # force first (compile) step
     t0 = time.time()
     for i in range(args.iters):
-        m = trainer.step(batch, jax.random.PRNGKey(i + 1))
+        m = trainer.step(batch, keys[i + 1])
     float(jax.device_get(m["loss"]))
     dt = (time.time() - t0) / args.iters
     print(json.dumps({

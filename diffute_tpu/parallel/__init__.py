@@ -1,4 +1,5 @@
 from diffute_tpu.parallel.mesh import (  # noqa: F401
+    DevicePrefetcher,
     make_mesh,
     batch_sharding,
     maybe_init_distributed,

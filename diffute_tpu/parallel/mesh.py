@@ -65,6 +65,63 @@ def zero1_shardings(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(spec, tree)
 
 
+class DevicePrefetcher:
+    """Wrap a host batch iterator and move batches onto the mesh ahead of
+    time on a background thread, overlapping the host->device transfer with
+    device compute (the TPU analogue of torch's pinned-memory prefetch; the
+    reference relies on DataLoader workers alone, train_diffute_v1.py:757-763).
+
+    Yields batches already placed via :func:`shard_batch`; trainers skip
+    re-placement for committed device arrays.  ``depth`` bounds device-side
+    buffering (each buffered batch holds HBM).
+    """
+
+    def __init__(self, iterator, mesh: Mesh, batch_axis: int = 0,
+                 depth: int = 2):
+        self._it = iterator
+        self.mesh = mesh
+        self.batch_axis = batch_axis
+        self.depth = max(1, depth)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for batch in self._it:
+                    placed = shard_batch(self.mesh, batch, self.batch_axis)
+                    while not stop.is_set():
+                        try:
+                            q.put(placed, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            finally:
+                while not stop.is_set():
+                    try:
+                        q.put(None, timeout=0.1)
+                        return
+                    except queue.Full:
+                        continue
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
 def shard_batch(mesh: Mesh, batch: Any, batch_axis: int = 0) -> Any:
     """Place a batch pytree onto the mesh, sharded along ``batch_axis``
     (axis 1 for (accum, micro, ...) layouts).

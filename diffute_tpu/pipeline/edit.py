@@ -57,6 +57,16 @@ def normalize_image(x_uint8: jax.Array) -> jax.Array:
     return (x_uint8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
 
 
+def _cast_floating(tree, dtype):
+    """Cast floating-point leaves of a param tree to ``dtype`` (no-op for
+    f32 configs, e.g. the numeric-parity tests)."""
+    if dtype == jnp.float32:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+
 def _validate_box(box, image_hw) -> Tuple[int, int, int, int]:
     """Clip the region box to the image; reject degenerate boxes with a clear
     error (the reference crashes deep inside the crop policy instead)."""
@@ -95,6 +105,16 @@ class DiffUTEPipeline:
         self.trocr = TrOCREncoder(config.trocr)
         self.schedule = make_schedule(config.scheduler)
         self.mesh = mesh
+        # Serving params are stored in each model's COMPUTE dtype.  Flax
+        # modules cast f32 params to `dtype` at every use anyway, so this is
+        # numerically identical — but casting once here halves the weight
+        # bytes the UNet reads from HBM per denoise step (~1.7 GB vs 3.4 GB
+        # for the 866M-param UNet in bf16) and halves upload/residency.
+        params = {
+            "vae": _cast_floating(params["vae"], config.vae.dtype),
+            "unet": _cast_floating(params["unet"], config.unet.dtype),
+            "trocr": _cast_floating(params["trocr"], config.trocr.dtype),
+        }
         if mesh is not None:
             from diffute_tpu.parallel import replicated_sharding
 

@@ -131,6 +131,10 @@ def main():
         params = init_pipeline_params(config, seed=args.seed)
 
     trainer = VAETrainer(config, params["vae"], total_steps=max_steps)
+    # The trainer holds its own (copied/casted) param trees; dropping the
+    # loader-returned f32 tree frees ~5 GB of HBM on the 866M config, which
+    # otherwise sits at the v5e capacity edge and thrashes the allocator.
+    del params
 
     start_step = 0
     resume = resolve_resume(args.output_dir, args.resume_from_checkpoint)
@@ -160,7 +164,11 @@ def main():
     # reference skips consumed batches instead, train_diffute_v1.py:862-866).
     key = jax.random.fold_in(jax.random.PRNGKey(args.seed), start_step)
     step = start_step
-    for batch in loader:
+    # overlap host->device batch transfer with the running step
+    from diffute_tpu.parallel import DevicePrefetcher
+
+    device_loader = DevicePrefetcher(loader, trainer.mesh)
+    for batch in device_loader:
         if step >= max_steps:
             break
         key, sub = jax.random.split(key)

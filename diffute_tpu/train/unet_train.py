@@ -195,6 +195,11 @@ class UNetTrainer:
 
     def step(self, batch: Dict[str, np.ndarray], rng) -> Dict[str, float]:
         accum = self.config.train.gradient_accumulation_steps
-        batch = shard_batch(self.mesh, batch, batch_axis=1 if accum > 1 else 0)
+        if not all(isinstance(x, jax.Array)
+                   for x in jax.tree_util.tree_leaves(batch)):
+            # host batch: place it now; device batches (e.g. from
+            # parallel.DevicePrefetcher) are already mesh-resident
+            batch = shard_batch(self.mesh, batch,
+                                batch_axis=1 if accum > 1 else 0)
         self.state, metrics = self._step(self.state, self.frozen, batch, rng)
         return metrics

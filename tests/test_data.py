@@ -212,3 +212,39 @@ def test_epoch_loader_rejects_batch_larger_than_shard():
 
     with _pytest.raises(ValueError):
         PrefetchLoader(_IndexDataset(4), 8, lambda ex: ex, shuffle="epoch")
+
+
+def test_device_prefetcher_places_batches_on_mesh():
+    import jax
+
+    from diffute_tpu.parallel import DevicePrefetcher, make_mesh
+
+    mesh = make_mesh(8)
+    host_batches = [{"x": np.full((8, 4), i, np.float32)} for i in range(3)]
+    out = list(DevicePrefetcher(iter(host_batches), mesh, depth=2))
+    assert len(out) == 3
+    for i, b in enumerate(out):
+        assert isinstance(b["x"], jax.Array)
+        assert "data" in str(b["x"].sharding.spec)
+        np.testing.assert_array_equal(np.asarray(b["x"]),
+                                      host_batches[i]["x"])
+
+
+def test_trainer_step_accepts_device_batches(cfg=None):
+    """UNetTrainer.step must not re-place already-device batches."""
+    import jax
+
+    from diffute_tpu.config import tiny_test_config
+    from diffute_tpu.parallel import shard_batch
+    from diffute_tpu.train import VAETrainer
+    from diffute_tpu.utils import init_pipeline_params
+
+    c = tiny_test_config()
+    params = init_pipeline_params(c)
+    trainer = VAETrainer(c, params["vae"], total_steps=10)
+    res = c.edit.resolution
+    batch = {"pixel_values": np.zeros((8, res, res, 3), np.float32)}
+    dev = shard_batch(trainer.mesh, batch)
+    m1 = trainer.step(dev, jax.random.PRNGKey(0))
+    m2 = trainer.step(batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
