@@ -226,6 +226,12 @@ class TrainConfig:
     # sharding (ZeRO-1 style) over the data axis.
     dp_size: int = -1
     shard_optimizer_states: bool = False
+    # Donate the train state to the jitted step (in-place update, halves
+    # transient param memory).  None = auto: donate everywhere EXCEPT
+    # relay-attached backends (axon), where donation round-trips the state
+    # through the host (~76 s/step measured for the 866M trainer vs 0.4 s
+    # without).  True/False forces.
+    donate_state: Optional[bool] = None
     optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
 
 

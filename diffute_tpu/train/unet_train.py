@@ -43,6 +43,18 @@ def _cast(tree, dtype):
     return jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)
 
 
+def resolve_donation(config: DiffUTEConfig) -> bool:
+    """Whether the train step should donate its state (TrainConfig.
+    donate_state; None = auto).  Donation is the right call on directly
+    attached TPUs (in-place update, halves transient param HBM), but on the
+    tunneled axon relay it round-trips the donated buffers through the host
+    — measured 76 s/step for the 866M trainer vs 0.37 s without donation
+    for the identical program."""
+    if config.train.donate_state is not None:
+        return config.train.donate_state
+    return "axon" not in str(jax.config.jax_platforms or "")
+
+
 def make_unet_train_step(
     config: DiffUTEConfig,
     tx,
@@ -191,7 +203,7 @@ class UNetTrainer:
                                                   opt_shardings)
         self._step = jax.jit(
             make_unet_train_step(config, self.tx, opt_shardings),
-            donate_argnums=(0,))
+            donate_argnums=(0,) if resolve_donation(config) else ())
 
     def step(self, batch: Dict[str, np.ndarray], rng) -> Dict[str, float]:
         accum = self.config.train.gradient_accumulation_steps

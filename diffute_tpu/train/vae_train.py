@@ -87,8 +87,11 @@ class VAETrainer:
         self.tx = build_optimizer(config.train.optimizer, total, tbs)
         self.state = TrainState.create(vae_params, self.tx,
                                        use_ema=config.train.use_ema)
-        self._step = jax.jit(make_vae_train_step(config, self.tx),
-                             donate_argnums=(0,))
+        from diffute_tpu.train.unet_train import resolve_donation
+
+        self._step = jax.jit(
+            make_vae_train_step(config, self.tx),
+            donate_argnums=(0,) if resolve_donation(config) else ())
 
     def step(self, batch: Dict[str, np.ndarray], rng) -> Dict[str, float]:
         accum = self.config.train.gradient_accumulation_steps
