@@ -39,6 +39,9 @@ def main():
     p.add_argument("--res", type=int, default=512)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="K optimizer steps per lax.scan executable "
+                        "(TrainConfig.steps_per_call)")
     p.add_argument("--optimizer", default="adafactor",
                    choices=["adamw", "adafactor"],
                    help="adafactor fits the 866M UNet on one 16GB chip; "
@@ -51,6 +54,7 @@ def main():
                         remat=not args.no_remat),
         trocr=TrOCRConfig(dtype=jnp.bfloat16),
         train=TrainConfig(train_batch_size=args.batch, mixed_precision="bf16",
+                          steps_per_call=args.steps_per_call,
                           optimizer=OptimizerConfig(name=args.optimizer,
                                                     low_memory_adam=True)),
     )
@@ -73,22 +77,37 @@ def main():
     # host->device upload (which the prefetcher overlaps with compute)
     from diffute_tpu.parallel import shard_batch
 
-    batch = shard_batch(trainer.mesh, batch)
+    k = args.steps_per_call
     keys = [jax.random.PRNGKey(i) for i in range(args.iters + 1)]
-    m = trainer.step(batch, keys[0])
-    float(jax.device_get(m["loss"]))  # force first (compile) step
-    t0 = time.time()
-    for i in range(args.iters):
-        m = trainer.step(batch, keys[i + 1])
-    float(jax.device_get(m["loss"]))
-    dt = (time.time() - t0) / args.iters
+    if k > 1:
+        batches = shard_batch(
+            trainer.mesh,
+            {kk: np.broadcast_to(v, (k,) + v.shape).copy()
+             for kk, v in batch.items()}, batch_axis=1)
+        m = trainer.run_steps(batches, keys[0])
+        float(jax.device_get(m["loss"][-1]))  # compile + first call
+        t0 = time.time()
+        for i in range(args.iters):
+            m = trainer.run_steps(batches, keys[i + 1])
+        float(jax.device_get(m["loss"][-1]))
+        dt = (time.time() - t0) / (args.iters * k)
+    else:
+        batch = shard_batch(trainer.mesh, batch)
+        m = trainer.step(batch, keys[0])
+        float(jax.device_get(m["loss"]))  # force first (compile) step
+        t0 = time.time()
+        for i in range(args.iters):
+            m = trainer.step(batch, keys[i + 1])
+        float(jax.device_get(m["loss"]))
+        dt = (time.time() - t0) / args.iters
     print(json.dumps({
         "metric": f"train images/sec/chip (stage-2, {res}^2, bf16, "
-                  f"{args.optimizer}, remat={not args.no_remat}, batch {B})",
+                  f"{args.optimizer}, remat={not args.no_remat}, batch {B}"
+                  + (f", scan k={k}" if k > 1 else "") + ")",
         "value": round(B / dt, 3),
         "unit": "images/sec/chip",
         "step_seconds": round(dt, 4),
-        "loss": round(float(jax.device_get(m["loss"])), 4),
+        "loss": round(float(np.mean(jax.device_get(m["loss"]))), 4),
     }))
 
 

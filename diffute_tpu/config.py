@@ -232,6 +232,12 @@ class TrainConfig:
     # through the host (~76 s/step measured for the 866M trainer vs 0.4 s
     # without).  True/False forces.
     donate_state: Optional[bool] = None
+    # Run this many consecutive optimizer steps inside ONE lax.scan
+    # executable (state chains on device; batches get a leading
+    # steps_per_call dim).  Amortizes per-call dispatch; on the relay
+    # backend it is the difference between ~45 s/step and device speed.
+    # Requires gradient_accumulation_steps == 1 when > 1.
+    steps_per_call: int = 1
     optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
 
 

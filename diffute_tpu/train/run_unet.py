@@ -58,6 +58,9 @@ def parse_args():
     p.add_argument("--report_to", default="tensorboard")
     p.add_argument("--logging_dir", default="logs")
     p.add_argument("--dataloader_num_workers", type=int, default=4)
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="optimizer steps per lax.scan executable (amortizes "
+                        "dispatch; state stays on device between steps)")
     p.add_argument("--smoke", action="store_true",
                    help="tiny config + synthetic data, 2 steps")
     return p.parse_args()
@@ -103,6 +106,7 @@ def main():
         noise_offset=args.noise_offset,
         prediction_type=args.prediction_type,
         dataloader_num_workers=args.dataloader_num_workers,
+        steps_per_call=args.steps_per_call,
         optimizer=OptimizerConfig(
             name=args.optimizer,
             learning_rate=args.learning_rate,
@@ -208,8 +212,22 @@ def main():
     # overlap host->device batch transfer with the running step
     from diffute_tpu.parallel import DevicePrefetcher
 
-    device_loader = DevicePrefetcher(loader, trainer.mesh,
-                                     batch_axis=1 if accum > 1 else 0)
+    spc = args.steps_per_call
+    if spc > 1:
+        # group spc per-step batches into one (spc, B, ...) scan input
+        def grouped(it, k):
+            buf = []
+            for b in it:
+                buf.append(b)
+                if len(buf) == k:
+                    yield {kk: np.stack([x[kk] for x in buf]) for kk in buf[0]}
+                    buf = []
+
+        device_loader = DevicePrefetcher(grouped(loader, spc), trainer.mesh,
+                                         batch_axis=1)
+    else:
+        device_loader = DevicePrefetcher(loader, trainer.mesh,
+                                         batch_axis=1 if accum > 1 else 0)
     for batch in device_loader:
         if step >= max_steps:
             break
@@ -220,12 +238,17 @@ def main():
             jax.profiler.stop_trace()
             profiling = False
         key, sub = jax.random.split(key)
-        metrics = trainer.step(batch, sub)
+        if spc > 1:
+            metrics = trainer.run_steps(batch, sub)
+            metrics = {k2: np.mean(np.asarray(v)) for k2, v in metrics.items()}
+        else:
+            metrics = trainer.step(batch, sub)
         timer.tick()
         step = int(trainer.state.step)
+        rate = (spc / timer.mean) if timer.mean else 0.0
         writer.log(step, {"train_loss": metrics["loss"],
                           "grad_norm": metrics["grad_norm"],
-                          "steps_per_sec": 1.0 / timer.mean if timer.mean else 0.0})
+                          "steps_per_sec": rate})
         if step % args.checkpointing_steps == 0 or step >= max_steps:
             # async: orbax snapshots to host synchronously (safe under the
             # donated train state), persists + exports in the background

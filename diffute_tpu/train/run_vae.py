@@ -40,6 +40,9 @@ def parse_args():
     p.add_argument("--report_to", default="tensorboard")
     p.add_argument("--logging_dir", default="logs")
     p.add_argument("--dataloader_num_workers", type=int, default=4)
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="optimizer steps per lax.scan executable (amortizes "
+                        "dispatch; state stays on device between steps)")
     p.add_argument("--smoke", action="store_true")
     return p.parse_args()
 
@@ -77,6 +80,7 @@ def main():
         resume_from_checkpoint=args.resume_from_checkpoint,
         seed=args.seed,
         output_dir=args.output_dir,
+        steps_per_call=args.steps_per_call,
         optimizer=OptimizerConfig(
             name=args.optimizer,
             learning_rate=args.learning_rate,
@@ -167,17 +171,37 @@ def main():
     # overlap host->device batch transfer with the running step
     from diffute_tpu.parallel import DevicePrefetcher
 
-    device_loader = DevicePrefetcher(loader, trainer.mesh)
+    import numpy as np
+
+    spc = args.steps_per_call
+    if spc > 1:
+        def grouped(it, k):
+            buf = []
+            for b in it:
+                buf.append(b)
+                if len(buf) == k:
+                    yield {kk: np.stack([x[kk] for x in buf]) for kk in buf[0]}
+                    buf = []
+
+        device_loader = DevicePrefetcher(grouped(loader, spc), trainer.mesh,
+                                         batch_axis=1)
+    else:
+        device_loader = DevicePrefetcher(loader, trainer.mesh)
     for batch in device_loader:
         if step >= max_steps:
             break
         key, sub = jax.random.split(key)
-        metrics = trainer.step(batch, sub)
+        if spc > 1:
+            metrics = trainer.run_steps(batch, sub)
+            metrics = {k2: np.mean(np.asarray(v)) for k2, v in metrics.items()}
+        else:
+            metrics = trainer.step(batch, sub)
         timer.tick()
         step = int(trainer.state.step)
+        rate = (spc / timer.mean) if timer.mean else 0.0
         writer.log(step, {"train_loss": metrics["loss"],
                           "grad_norm": metrics["grad_norm"],
-                          "steps_per_sec": 1.0 / timer.mean if timer.mean else 0.0})
+                          "steps_per_sec": rate})
         if step % args.checkpointing_steps == 0 or step >= max_steps:
             state = trainer.state
             vae_cfg_json = diffusers_vae_config_json(config.vae)

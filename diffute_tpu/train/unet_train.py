@@ -170,6 +170,34 @@ def make_unet_train_step(
     return train_step
 
 
+def make_multi_step(step_fn, k: int):
+    """Wrap a train step in a ``lax.scan`` over ``k`` consecutive steps.
+
+    One executable advances the state k times ON DEVICE — the state never
+    crosses the host/runtime boundary between steps.  This amortizes
+    per-call dispatch everywhere, and on the tunneled relay backend it is
+    the difference between usable and unusable: feeding the 866M state tree
+    back through the runtime between calls measured 45-90 s per step, while
+    the identical program chained inside one executable runs at device
+    speed (~0.4 s/step).
+
+    ``batches`` carries a leading ``k`` dim; metrics are returned per-step
+    (leading dim k)."""
+
+    def multi(state, frozen, batches, rng):
+        keys = jax.random.split(rng, k)
+
+        def body(s, xs):
+            batch, key = xs
+            s2, m = step_fn(s, frozen, batch, key)
+            return s2, m
+
+        state, metrics = jax.lax.scan(body, state, (batches, keys))
+        return state, metrics
+
+    return multi
+
+
 class UNetTrainer:
     """Host-side orchestration: mesh placement, jit, checkpoint, logging."""
 
@@ -201,9 +229,20 @@ class UNetTrainer:
             opt_shardings = zero1_shardings(self.state.opt_state, self.mesh)
             self.state.opt_state = jax.device_put(self.state.opt_state,
                                                   opt_shardings)
+        donate = (0,) if resolve_donation(config) else ()
         self._step = jax.jit(
             make_unet_train_step(config, self.tx, opt_shardings),
-            donate_argnums=(0,) if resolve_donation(config) else ())
+            donate_argnums=donate)
+        self.steps_per_call = config.train.steps_per_call
+        if self.steps_per_call > 1:
+            if config.train.gradient_accumulation_steps > 1:
+                raise ValueError("steps_per_call > 1 requires "
+                                 "gradient_accumulation_steps == 1")
+            self._multi = jax.jit(
+                make_multi_step(
+                    make_unet_train_step(config, self.tx, opt_shardings),
+                    self.steps_per_call),
+                donate_argnums=donate)
 
     def step(self, batch: Dict[str, np.ndarray], rng) -> Dict[str, float]:
         accum = self.config.train.gradient_accumulation_steps
@@ -214,4 +253,17 @@ class UNetTrainer:
             batch = shard_batch(self.mesh, batch,
                                 batch_axis=1 if accum > 1 else 0)
         self.state, metrics = self._step(self.state, self.frozen, batch, rng)
+        return metrics
+
+    def run_steps(self, batches, rng) -> Dict[str, np.ndarray]:
+        """Advance ``steps_per_call`` optimizer steps in one device call.
+
+        ``batches``: the per-step batch pytree with an extra LEADING
+        steps_per_call dim (host numpy or mesh-placed arrays).  Returns
+        metrics with leading dim steps_per_call."""
+        if not all(isinstance(x, jax.Array)
+                   for x in jax.tree_util.tree_leaves(batches)):
+            batches = shard_batch(self.mesh, batches, batch_axis=1)
+        self.state, metrics = self._multi(self.state, self.frozen, batches,
+                                          rng)
         return metrics

@@ -87,11 +87,21 @@ class VAETrainer:
         self.tx = build_optimizer(config.train.optimizer, total, tbs)
         self.state = TrainState.create(vae_params, self.tx,
                                        use_ema=config.train.use_ema)
-        from diffute_tpu.train.unet_train import resolve_donation
+        from diffute_tpu.train.unet_train import make_multi_step, resolve_donation
 
-        self._step = jax.jit(
-            make_vae_train_step(config, self.tx),
-            donate_argnums=(0,) if resolve_donation(config) else ())
+        donate = (0,) if resolve_donation(config) else ()
+        self._step = jax.jit(make_vae_train_step(config, self.tx),
+                             donate_argnums=donate)
+        self.steps_per_call = config.train.steps_per_call
+        if self.steps_per_call > 1:
+            if config.train.gradient_accumulation_steps > 1:
+                raise ValueError("steps_per_call > 1 requires "
+                                 "gradient_accumulation_steps == 1")
+            base = make_vae_train_step(config, self.tx)
+            self._multi = jax.jit(
+                make_multi_step(lambda s, frozen, b, k: base(s, b, k),
+                                self.steps_per_call),
+                donate_argnums=donate)
 
     def step(self, batch: Dict[str, np.ndarray], rng) -> Dict[str, float]:
         accum = self.config.train.gradient_accumulation_steps
@@ -102,4 +112,13 @@ class VAETrainer:
             batch = shard_batch(self.mesh, batch,
                                 batch_axis=1 if accum > 1 else 0)
         self.state, metrics = self._step(self.state, batch, rng)
+        return metrics
+
+    def run_steps(self, batches, rng) -> Dict[str, np.ndarray]:
+        """Advance ``steps_per_call`` steps in one device call (see
+        UNetTrainer.run_steps)."""
+        if not all(isinstance(x, jax.Array)
+                   for x in jax.tree_util.tree_leaves(batches)):
+            batches = shard_batch(self.mesh, batches, batch_axis=1)
+        self.state, metrics = self._multi(self.state, {}, batches, rng)
         return metrics

@@ -71,3 +71,13 @@ def test_run_unet_with_manifest(tmp_path, monkeypatch, capsys):
                      "--output_dir", out, "--manifest", csv,
                      "--optimizer", "adafactor"], monkeypatch)
     assert "done at step 2" in capsys.readouterr().out
+
+
+def test_run_vae_steps_per_call(tmp_path, monkeypatch, capsys):
+    from diffute_tpu.train.run_vae import main
+
+    out = str(tmp_path / "vae_spc")
+    _run_main(main, ["run_vae", "--smoke", "--report_to", "none",
+                     "--output_dir", out, "--steps_per_call", "2"],
+              monkeypatch)
+    assert "done at step 2" in capsys.readouterr().out

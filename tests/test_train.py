@@ -255,3 +255,49 @@ def test_async_checkpoint_manager(tmp_path, cfg, params):
     # step-2 params differ from the step-1 snapshot (training moved on)
     b = np.asarray(jax.tree_util.tree_leaves(restored.params)[0])
     assert b.shape == snap.shape
+
+
+def test_multi_step_scan_matches_sequential(cfg, params):
+    """steps_per_call=K in one lax.scan executable must produce the same
+    final params as K sequential step() calls with the same batches/keys."""
+    from diffute_tpu.train.unet_train import make_multi_step  # noqa: F401
+
+    K = 3
+    tc = dataclasses.replace(cfg.train, steps_per_call=K)
+    c = dataclasses.replace(cfg, train=tc)
+    multi = UNetTrainer(c, params["unet"],
+                        {"vae": params["vae"], "trocr": params["trocr"]},
+                        total_steps=10)
+    seq = UNetTrainer(cfg, params["unet"],
+                      {"vae": params["vae"], "trocr": params["trocr"]},
+                      total_steps=10)
+    batches = [_unet_batch(cfg, 8) for _ in range(K)]
+    stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    rng = jax.random.PRNGKey(42)
+    m = multi.run_steps(stacked, rng)
+    assert m["loss"].shape == (K,)
+    keys = jax.random.split(rng, K)
+    for b, k in zip(batches, keys):
+        ms = seq.step(b, k)
+    assert int(multi.state.step) == K == int(seq.state.step)
+    np.testing.assert_allclose(float(m["loss"][-1]), float(ms["loss"]),
+                               rtol=1e-5)
+    a = jax.tree_util.tree_leaves(multi.state.params)
+    b = jax.tree_util.tree_leaves(seq.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-4,
+                                   atol=2e-6)
+
+
+def test_vae_multi_step_scan(cfg, params):
+    K = 2
+    tc = dataclasses.replace(cfg.train, steps_per_call=K)
+    c = dataclasses.replace(cfg, train=tc)
+    trainer = VAETrainer(c, params["vae"], total_steps=10)
+    res = cfg.edit.resolution
+    batches = {"pixel_values": np.random.RandomState(0)
+               .randn(K, 8, res, res, 3).astype(np.float32).clip(-1, 1)}
+    m = trainer.run_steps(batches, jax.random.PRNGKey(0))
+    assert m["loss"].shape == (K,)
+    assert np.isfinite(np.asarray(m["loss"])).all()
+    assert int(trainer.state.step) == K
