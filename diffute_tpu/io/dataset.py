@@ -240,22 +240,8 @@ class PrefetchLoader:
                  shuffle: Optional[str] = None,
                  num_epochs: Optional[int] = None, start_epoch: int = 0,
                  process_index: int = 0, process_count: int = 1):
-        if shuffle not in (None, "epoch", "replacement"):
-            raise ValueError(f"shuffle must be 'epoch'/'replacement'/None, "
-                             f"got {shuffle!r}")
-        n = len(dataset)
-        if shuffle is None:
-            # auto: epoch semantics when a permutation is affordable AND the
-            # per-process shard fills at least one batch (tiny smoke
-            # manifests keep working via replacement sampling)
-            too_small = n // process_count < batch_size
-            shuffle = ("replacement" if n >= _EPOCH_SHUFFLE_MAX or too_small
-                       else "epoch")
-        elif shuffle == "epoch" and n // process_count < batch_size:
-            raise ValueError(
-                f"epoch shuffle needs >= one batch per process: "
-                f"{n} examples / {process_count} processes < "
-                f"batch_size {batch_size}")
+        shuffle = self.resolve_shuffle(len(dataset), batch_size,
+                                       process_count, shuffle)
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate = collate
@@ -267,6 +253,29 @@ class PrefetchLoader:
         self.start_epoch = start_epoch
         self.process_index = process_index
         self.process_count = process_count
+
+    @staticmethod
+    def resolve_shuffle(n: int, batch_size: int, process_count: int = 1,
+                        shuffle: Optional[str] = None) -> str:
+        """The sampling mode ``shuffle=None`` resolves to — shared with the
+        trainer CLIs so their epoch/seed handling always agrees with the
+        loader's actual mode."""
+        if shuffle not in (None, "epoch", "replacement"):
+            raise ValueError(f"shuffle must be 'epoch'/'replacement'/None, "
+                             f"got {shuffle!r}")
+        too_small = n // process_count < batch_size
+        if shuffle is None:
+            # auto: epoch semantics when a permutation is affordable AND the
+            # per-process shard fills at least one batch (tiny smoke
+            # manifests keep working via replacement sampling)
+            return ("replacement" if n >= _EPOCH_SHUFFLE_MAX or too_small
+                    else "epoch")
+        if shuffle == "epoch" and too_small:
+            raise ValueError(
+                f"epoch shuffle needs >= one batch per process: "
+                f"{n} examples / {process_count} processes < "
+                f"batch_size {batch_size}")
+        return shuffle
 
     @property
     def steps_per_epoch(self) -> int:
@@ -298,28 +307,38 @@ class PrefetchLoader:
         lock = threading.Lock()
         self.error_count = 0
 
-        def worker():
-            while not stop.is_set():
-                with lock:
-                    idx = next(gen, None)
-                if idx is None:  # epoch budget exhausted
-                    q.put(None)
-                    return
+        fatal = []  # non-example worker failure, re-raised in the consumer
+
+        def put_stop_aware(item):
+            while not stop.is_set():  # bounded put: notice consumer exit
                 try:
-                    batch = self.collate([self.dataset[i] for i in idx])
-                except Exception as e:  # skip-on-decode-error (SURVEY.md §5.3)
-                    self.error_count += 1
-                    if self.error_count in (1, 10, 100) or self.error_count % 1000 == 0:
-                        print(f"[data] skipped batch after error "
-                              f"#{self.error_count}: {type(e).__name__}: {e}",
-                              flush=True)
+                    q.put(item, timeout=0.1)
+                    return
+                except queue.Full:
                     continue
-                while not stop.is_set():  # bounded put: notice consumer exit
+
+        def worker():
+            try:
+                while not stop.is_set():
+                    with lock:
+                        idx = next(gen, None)
+                    if idx is None:  # epoch budget exhausted
+                        return
                     try:
-                        q.put(batch, timeout=0.1)
-                        break
-                    except queue.Full:
+                        batch = self.collate([self.dataset[i] for i in idx])
+                    except Exception as e:  # skip-on-decode-error (§5.3)
+                        self.error_count += 1
+                        if (self.error_count in (1, 10, 100)
+                                or self.error_count % 1000 == 0):
+                            print(f"[data] skipped batch after error "
+                                  f"#{self.error_count}: "
+                                  f"{type(e).__name__}: {e}", flush=True)
                         continue
+                    put_stop_aware(batch)
+            except BaseException as e:  # e.g. MemoryError in the permutation
+                fatal.append(e)
+            finally:
+                put_stop_aware(None)  # ALWAYS deliver the sentinel
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_threads)]
@@ -333,5 +352,7 @@ class PrefetchLoader:
                     finished += 1
                     continue
                 yield item
+            if fatal:
+                raise fatal[0]
         finally:
             stop.set()

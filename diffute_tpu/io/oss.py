@@ -31,6 +31,7 @@ import io
 import os
 import time
 import urllib.error
+import urllib.parse
 import urllib.request
 from email.utils import formatdate
 from typing import BinaryIO, Callable, Optional
@@ -82,10 +83,14 @@ class OSSClient:
         return f"OSS {self.access_key_id}:{base64.b64encode(digest).decode()}"
 
     def url_for(self, bucket: str, key: str) -> str:
+        # the SIGNATURE uses the raw canonical resource /bucket/key; the URL
+        # must percent-encode the key (spaces / non-ASCII are routine in
+        # document-OCR manifests and would otherwise break the request line)
+        quoted = urllib.parse.quote(key, safe="/")
         if self.path_style:
-            return f"{self.endpoint}/{bucket}/{key}"
+            return f"{self.endpoint}/{bucket}/{quoted}"
         scheme, host = self.endpoint.split("://", 1)
-        return f"{scheme}://{bucket}.{host}/{key}"
+        return f"{scheme}://{bucket}.{host}/{quoted}"
 
     def get(self, url: str) -> bytes:
         bucket, key = self.parse(url)

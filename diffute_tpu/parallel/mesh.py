@@ -89,26 +89,27 @@ class DevicePrefetcher:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         stop = threading.Event()
+        error = []  # worker exception, re-raised in the consumer
+
+        def put_stop_aware(item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
 
         def worker():
             try:
                 for batch in self._it:
                     placed = shard_batch(self.mesh, batch, self.batch_axis)
-                    while not stop.is_set():
-                        try:
-                            q.put(placed, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
+                    put_stop_aware(placed)
                     if stop.is_set():
                         return
+            except BaseException as e:  # surface in the consumer, never
+                error.append(e)         # silently truncate training
             finally:
-                while not stop.is_set():
-                    try:
-                        q.put(None, timeout=0.1)
-                        return
-                    except queue.Full:
-                        continue
+                put_stop_aware(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -116,6 +117,8 @@ class DevicePrefetcher:
             while True:
                 item = q.get()
                 if item is None:
+                    if error:
+                        raise error[0]
                     return
                 yield item
         finally:

@@ -75,13 +75,16 @@ def launch(checkpoint: Optional[str] = None, share: bool = False):
 
     def on_generate(img, text, steps, roi, bx0, by0, bx1, by1):
         # the Number boxes are authoritative (they're example-seeded and
-        # hand-editable, like the reference); clicks only populate them
+        # hand-editable, like the reference); clicks only populate them.
+        # Unclicked Number widgets deliver None — treat as no box.
+        coords = [0 if c is None else c for c in (bx0, by0, bx1, by1)]
+        bx0, by0, bx1, by1 = coords
         if not roi_ready(roi) and (bx1 - bx0) * (by1 - by0) <= 0:
             raise gr.Error("Click two corners of the text region (or fill "
                            "the X0/Y0/X1/Y1 boxes) first.")
         try:
             return run_edit(pipe, img, text, steps, bx0, by0, bx1, by1)
-        except ValueError as e:
+        except (TypeError, ValueError) as e:
             raise gr.Error(str(e)) from e
 
     with gr.Blocks() as demo:

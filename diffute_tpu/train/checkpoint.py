@@ -82,8 +82,10 @@ class AsyncCheckpointManager:
 
         if self._export_thread is not None:
             self._export_thread.join()
-        # prior orbax save is finalized before a new one starts (orbax
-        # waits internally); rotate the old, all-finalized checkpoints
+        # ensure the PRIOR async save is fully committed before rotation can
+        # touch its directory (orbax also waits internally at the next save,
+        # but rotation below must never race an in-flight writer)
+        self._ckptr.wait_until_finished()
         if self.total_limit:
             keep = max(0, self.total_limit - 1)
             ckpts = list_checkpoints(self.output_dir)

@@ -141,10 +141,11 @@ def main():
     accum = args.gradient_accumulation_steps
 
     # Reference semantics (train_diffute_v1.py:855-860): max_train_steps
-    # wins when given, otherwise num_train_epochs over the dataset.
-    from diffute_tpu.io.dataset import _EPOCH_SHUFFLE_MAX
-
-    epoch_mode = len(dataset) < _EPOCH_SHUFFLE_MAX
+    # wins when given, otherwise num_train_epochs over the dataset.  Use the
+    # loader's own mode resolution so epoch/seed handling always matches
+    # what the loader actually does (incl. the tiny-manifest fallback).
+    epoch_mode = PrefetchLoader.resolve_shuffle(
+        len(dataset), batch_size * accum, jax.process_count()) == "epoch"
     steps_per_epoch = max(
         1, len(dataset) // jax.process_count() // (batch_size * accum))
     if args.smoke:
@@ -208,6 +209,7 @@ def main():
     # reference skips consumed batches instead, train_diffute_v1.py:862-866).
     key = jax.random.fold_in(jax.random.PRNGKey(args.seed), start_step)
     step = start_step
+    last_saved = start_step
     profiling = False
     # overlap host->device batch transfer with the running step
     from diffute_tpu.parallel import DevicePrefetcher
@@ -249,7 +251,9 @@ def main():
         writer.log(step, {"train_loss": metrics["loss"],
                           "grad_norm": metrics["grad_norm"],
                           "steps_per_sec": rate})
-        if step % args.checkpointing_steps == 0 or step >= max_steps:
+        # with steps_per_call > 1 the counter advances in strides of
+        # spc, so detect crossing a checkpoint boundary, not equality
+        if step % args.checkpointing_steps < spc or step >= max_steps:
             # async: orbax snapshots to host synchronously (safe under the
             # donated train state), persists + exports in the background
             state = trainer.state
@@ -261,6 +265,7 @@ def main():
                     unet_ema_params=host["ema"],
                     unet_config=cfg_json)
 
+            last_saved = step
             path = ckpt_mgr.save(
                 step, state, export_fn=export,
                 export_args={"params": state.params,
@@ -268,6 +273,18 @@ def main():
             print(f"saved {path}")
     if profiling:
         jax.profiler.stop_trace()
+    if step > last_saved:
+        # loader exhausted (epoch budget / partial scan group) before a
+        # checkpoint boundary: never exit without persisting the last state
+        state = trainer.state
+        path = ckpt_mgr.save(
+            step, state,
+            export_fn=lambda p, host: export_diffusers_layout(
+                p, unet_params=host["params"], unet_ema_params=host["ema"],
+                unet_config=diffusers_unet_config_json(config.unet)),
+            export_args={"params": state.params,
+                         "ema": state.ema.params if state.ema else None})
+        print(f"saved {path}")
     ckpt_mgr.wait()  # last checkpoint durable before exit
     writer.close()
     if step > start_step:

@@ -109,10 +109,11 @@ def main():
         dataset = SyntheticSceneDataset(config, seed=args.seed)
 
     # Reference semantics: max_train_steps wins when given, otherwise
-    # num_train_epochs over the dataset (train_vae.py epoch loop).
-    from diffute_tpu.io.dataset import _EPOCH_SHUFFLE_MAX
-
-    epoch_mode = len(dataset) < _EPOCH_SHUFFLE_MAX
+    # num_train_epochs over the dataset (train_vae.py epoch loop).  Use the
+    # loader's own mode resolution so epoch/seed handling always matches
+    # what the loader actually does (incl. the tiny-manifest fallback).
+    epoch_mode = PrefetchLoader.resolve_shuffle(
+        len(dataset), batch_size, jax.process_count()) == "epoch"
     steps_per_epoch = max(
         1, len(dataset) // jax.process_count() // batch_size)
     if args.smoke:
@@ -168,6 +169,7 @@ def main():
     # reference skips consumed batches instead, train_diffute_v1.py:862-866).
     key = jax.random.fold_in(jax.random.PRNGKey(args.seed), start_step)
     step = start_step
+    last_saved = start_step
     # overlap host->device batch transfer with the running step
     from diffute_tpu.parallel import DevicePrefetcher
 
@@ -202,7 +204,9 @@ def main():
         writer.log(step, {"train_loss": metrics["loss"],
                           "grad_norm": metrics["grad_norm"],
                           "steps_per_sec": rate})
-        if step % args.checkpointing_steps == 0 or step >= max_steps:
+        # with steps_per_call > 1 the counter advances in strides of
+        # spc, so detect crossing a checkpoint boundary, not equality
+        if step % args.checkpointing_steps < spc or step >= max_steps:
             state = trainer.state
             vae_cfg_json = diffusers_vae_config_json(config.vae)
 
@@ -210,9 +214,21 @@ def main():
                 export_diffusers_layout(p, vae_params=host,
                                         vae_config=cfg_json)
 
+            last_saved = step
             path = ckpt_mgr.save(step, state, export_fn=export,
                                  export_args=state.params)
             print(f"saved {path}")
+    if step > last_saved:
+        # loader exhausted before a checkpoint boundary: never exit without
+        # persisting the last state
+        state = trainer.state
+        path = ckpt_mgr.save(
+            step, state,
+            export_fn=lambda p, host: export_diffusers_layout(
+                p, vae_params=host,
+                vae_config=diffusers_vae_config_json(config.vae)),
+            export_args=state.params)
+        print(f"saved {path}")
     ckpt_mgr.wait()  # last checkpoint durable before exit
     writer.close()
     if step > start_step:

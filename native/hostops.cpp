@@ -71,13 +71,18 @@ Table make_table(int s, int d) {
 
 // Horizontal pass for one source row: uint8 (sw, c) -> int32 (dw, c) at
 // fixed-point scale 2^11.  max value 255 * 2048 = 522240, well inside int32.
-inline void hresize_row(const uint8_t* src, int c, const Table& xt, int dw,
-                        int32_t* out) {
+// The second tap is clamped to the last source pixel (its weight is 0 in the
+// clamped cases, but the READ must stay in bounds for sw == 1 sources).
+inline void hresize_row(const uint8_t* src, int sw, int c, const Table& xt,
+                        int dw, int32_t* out) {
   for (int x = 0; x < dw; ++x) {
-    const uint8_t* p = src + static_cast<size_t>(xt.ofs[x]) * c;
+    const int x0 = xt.ofs[x];
+    const int x1 = std::min(x0 + 1, sw - 1);
+    const uint8_t* p0 = src + static_cast<size_t>(x0) * c;
+    const uint8_t* p1 = src + static_cast<size_t>(x1) * c;
     const int32_t a0 = xt.a0[x], a1 = xt.a1[x];
     int32_t* o = out + static_cast<size_t>(x) * c;
-    for (int k = 0; k < c; ++k) o[k] = p[k] * a0 + p[k + c] * a1;
+    for (int k = 0; k < c; ++k) o[k] = p0[k] * a0 + p1[k] * a1;
   }
 }
 
@@ -94,7 +99,7 @@ struct RowCache {
       if (sy[i] == want_sy) return buf[i].data();
     const int slot = (sy[0] == -1 || sy[0] < sy[1]) ? 0 : 1;
     buf[slot].resize(static_cast<size_t>(dw) * c);
-    hresize_row(src + static_cast<size_t>(want_sy) * sw * c, c, xt, dw,
+    hresize_row(src + static_cast<size_t>(want_sy) * sw * c, sw, c, xt, dw,
                 buf[slot].data());
     sy[slot] = want_sy;
     return buf[slot].data();

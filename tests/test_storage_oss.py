@@ -138,3 +138,11 @@ def test_cache_registered_via_register_oss(fake_oss, tmp_path):
     with open_blob("oss://bkt/data/hello.txt") as f:
         assert f.read() == b"hello oss"
     assert len(_FakeOSS.hits) == hits
+
+
+def test_keys_with_spaces_and_unicode(fake_oss):
+    _FakeOSS.require_auth = False
+    _FakeOSS.blobs["/bkt/scans/%E5%8F%91%E7%A5%A8%202023.png"] = b"img"
+    c = OSSClient(fake_oss, access_key_id=None, access_key_secret=None,
+                  path_style=True)
+    assert c.get("oss://bkt/scans/发票 2023.png") == b"img"
