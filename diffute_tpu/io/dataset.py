@@ -17,7 +17,11 @@ rendered text so trainers/benches run without any external data.
 All datasets yield numpy dicts; batching helpers stack to the layouts the
 jit'd train steps expect.  Decode/augment is host CPU (the reference used
 torch DataLoader workers, :757-763); heavy lifting is already in cv2/PIL C
-code, and a thread-pool prefetcher overlaps it with device steps.
+code, and a thread-pool prefetcher overlaps it with device steps.  A failing
+example (corrupt blob) is substituted by a deterministic alternate index —
+never dropped, so every multi-host rank yields the same number of batches
+per epoch (the reference instead tolerates truncated images globally,
+``ImageFile.LOAD_TRUNCATED_IMAGES``, train_diffute_v1.py:66).
 """
 
 from __future__ import annotations
@@ -214,6 +218,10 @@ def make_vae_batch(examples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarra
 # back to with-replacement sampling, which is statistically equivalent there.
 _EPOCH_SHUFFLE_MAX = 1 << 24
 
+# Per-example decode-failure substitution attempts before declaring the data
+# source broken (fatal, re-raised in the consumer on every rank alike).
+_EXAMPLE_RETRIES = 8
+
 
 class PrefetchLoader:
     """Thread-pool batch producer overlapping host decode with device steps.
@@ -317,6 +325,28 @@ class PrefetchLoader:
                 except queue.Full:
                     continue
 
+        n = len(self.dataset)
+
+        def fetch(i):
+            # Substitute-on-decode-error (§5.3): a bad blob is replaced by a
+            # deterministic alternate index rather than dropping the whole
+            # batch — dropping would desynchronize batch counts across
+            # multi-host ranks and hang peers inside the jitted collective.
+            for attempt in range(_EXAMPLE_RETRIES):
+                j = i if attempt == 0 else (i + attempt * 104729) % n
+                try:
+                    return self.dataset[j]
+                except Exception as e:
+                    self.error_count += 1
+                    if (self.error_count in (1, 10, 100)
+                            or self.error_count % 1000 == 0):
+                        print(f"[data] example {j} failed (error "
+                              f"#{self.error_count}), substituting: "
+                              f"{type(e).__name__}: {e}", flush=True)
+            raise RuntimeError(
+                f"{_EXAMPLE_RETRIES} consecutive example failures starting "
+                f"at index {i}; data source looks broken")
+
         def worker():
             try:
                 while not stop.is_set():
@@ -324,16 +354,7 @@ class PrefetchLoader:
                         idx = next(gen, None)
                     if idx is None:  # epoch budget exhausted
                         return
-                    try:
-                        batch = self.collate([self.dataset[i] for i in idx])
-                    except Exception as e:  # skip-on-decode-error (§5.3)
-                        self.error_count += 1
-                        if (self.error_count in (1, 10, 100)
-                                or self.error_count % 1000 == 0):
-                            print(f"[data] skipped batch after error "
-                                  f"#{self.error_count}: "
-                                  f"{type(e).__name__}: {e}", flush=True)
-                        continue
+                    batch = self.collate([fetch(i) for i in idx])
                     put_stop_aware(batch)
             except BaseException as e:  # e.g. MemoryError in the permutation
                 fatal.append(e)

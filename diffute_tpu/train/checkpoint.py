@@ -60,6 +60,12 @@ class AsyncCheckpointManager:
     (orbax serializes saves internally; the export thread is joined), so
     rotation only ever removes finalized checkpoints, and ``wait()`` at the
     end of training makes the last checkpoint durable before exit.
+
+    Durability vs total_limit: rotation always retains the NEWEST finalized
+    checkpoint, so a crash during the async save window can never leave zero
+    restorable checkpoints (with total_limit=1 this means two checkpoints
+    briefly coexist; ``wait()`` applies the final trim to the limit once the
+    last save is durable).
     """
 
     def __init__(self, output_dir: str, total_limit: Optional[int] = None):
@@ -87,12 +93,10 @@ class AsyncCheckpointManager:
         # but rotation below must never race an in-flight writer)
         self._ckptr.wait_until_finished()
         if self.total_limit:
-            keep = max(0, self.total_limit - 1)
-            ckpts = list_checkpoints(self.output_dir)
-            drop = ckpts if keep == 0 else ckpts[:-keep]
-            for old in drop:
-                shutil.rmtree(os.path.join(self.output_dir, old),
-                              ignore_errors=True)
+            # leave room for the incoming checkpoint, but never drop the
+            # newest finalized one — it is the only restorable state until
+            # the new async save commits
+            self._rotate(keep=max(1, self.total_limit - 1))
         path = os.path.join(self.output_dir, f"checkpoint-{step}")
         self._ckptr.save(os.path.join(path, "state"),
                          args=ocp.args.StandardSave(state))
@@ -104,11 +108,19 @@ class AsyncCheckpointManager:
             self._export_thread.start()
         return path
 
+    def _rotate(self, keep: int) -> None:
+        for old in list_checkpoints(self.output_dir)[:-keep]:
+            shutil.rmtree(os.path.join(self.output_dir, old),
+                          ignore_errors=True)
+
     def wait(self) -> None:
         if self._export_thread is not None:
             self._export_thread.join()
             self._export_thread = None
         self._ckptr.wait_until_finished()
+        if self.total_limit:
+            # final trim now that the last save is durable
+            self._rotate(keep=self.total_limit)
 
     def close(self) -> None:
         self.wait()

@@ -190,17 +190,23 @@ def main():
         return b
 
     # Epoch mode resumes at the right epoch boundary; replacement mode folds
-    # the resume step into the seed so batches are fresh.
+    # the resume step into the seed so batches are fresh.  The epoch budget
+    # is recomputed from max_train_steps (not taken from --num_train_epochs)
+    # so a --max_train_steps larger than num_train_epochs*steps_per_epoch
+    # never exhausts the loader early — the reference recomputes
+    # num_train_epochs the same way (train_diffute_v1.py:807).
+    import math
+
     loader = PrefetchLoader(
         dataset, batch_size * accum, collate,
         num_threads=max(1, args.dataloader_num_workers),
         seed=args.seed if epoch_mode else args.seed + start_step,
-        num_epochs=args.num_train_epochs if epoch_mode else None,
+        num_epochs=math.ceil(max_steps / steps_per_epoch) if epoch_mode else None,
         start_epoch=start_step // steps_per_epoch if epoch_mode else 0,
         process_index=jax.process_index(), process_count=jax.process_count())
 
-    writer = MetricWriter(os.path.join(args.output_dir, args.logging_dir)
-                          if args.report_to == "tensorboard" else None)
+    writer = MetricWriter(os.path.join(args.output_dir, args.logging_dir),
+                          report_to=args.report_to, config=vars(args))
     ckpt_mgr = AsyncCheckpointManager(args.output_dir,
                                       args.checkpoints_total_limit)
     timer = StepTimer()

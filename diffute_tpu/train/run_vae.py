@@ -151,16 +151,21 @@ def main():
     def collate(ex):
         return make_vae_batch(ex)
 
+    # Epoch budget recomputed from max_train_steps so a larger
+    # --max_train_steps never exhausts the loader early (the reference
+    # recomputes num_train_epochs the same way, train_vae.py:653).
+    import math
+
     loader = PrefetchLoader(
         dataset, batch_size, collate,
         num_threads=max(1, args.dataloader_num_workers),
         seed=args.seed if epoch_mode else args.seed + start_step,
-        num_epochs=args.num_train_epochs if epoch_mode else None,
+        num_epochs=math.ceil(max_steps / steps_per_epoch) if epoch_mode else None,
         start_epoch=start_step // steps_per_epoch if epoch_mode else 0,
         process_index=jax.process_index(), process_count=jax.process_count())
 
-    writer = MetricWriter(os.path.join(args.output_dir, args.logging_dir)
-                          if args.report_to == "tensorboard" else None)
+    writer = MetricWriter(os.path.join(args.output_dir, args.logging_dir),
+                          report_to=args.report_to, config=vars(args))
     ckpt_mgr = AsyncCheckpointManager(args.output_dir,
                                       args.checkpoints_total_limit)
     timer = StepTimer()

@@ -12,13 +12,22 @@
 //   crop_resize_normalize_f32: the same resize fused with albumentations
 //       Normalize(0.5, 0.5) -> float32 in the vertical pass (one pass over
 //       the buffers, no intermediate uint8 image; reference
-//       train_diffute_v1.py:336-340).  Skipping the uint8 re-quantization
-//       makes this *more* accurate than resize-then-normalize by <= 0.5/127.5.
+//       train_diffute_v1.py:336-340).  The pixel is quantized to uint8
+//       exactly as the unfused path does before normalizing, so the output
+//       is BIT-IDENTICAL to resize-then-normalize — the fusion saves the
+//       intermediate allocation and second memory pass, not precision.
 //   masked_fill_u8: image * (mask < 0.5) (reference train_diffute_v1.py:385-388)
 //
 // Build: cc -O3 -march=native -shared -fPIC hostops.cpp -o libhostops.so
 // Loaded via ctypes (diffute_tpu/io/hostops.py); numpy/cv2 fallback when the
-// shared object is absent.
+// shared object is absent.  Portability caveats: (a) the .so is built with
+// -march=native and cached by source mtime only — moving a prebuilt .so to
+// a different CPU can SIGILL; rebuild there (delete libhostops.so);
+// (b) the bit-exactness emulation below assumes cv2 binaries that use the
+// universal-intrinsics VResizeLinearVec_32s8u vertical pass (all official
+// pip opencv builds do); a cv2 built without SIMD would take the exact
+// FixedPtCast path everywhere and differ from the vector formula in the
+// last bit for some inputs — the pinned-exactness tests would catch it.
 
 #include <algorithm>
 #include <cfenv>

@@ -248,3 +248,39 @@ def test_trainer_step_accepts_device_batches(cfg=None):
     m1 = trainer.step(dev, jax.random.PRNGKey(0))
     m2 = trainer.step(batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+
+
+class _FlakyDataset(_IndexDataset):
+    """Example indices in ``bad`` raise (corrupt-blob simulation)."""
+
+    def __init__(self, n, bad):
+        super().__init__(n)
+        self.bad = set(bad)
+
+    def __getitem__(self, i):
+        if i in self.bad:
+            raise ValueError(f"corrupt blob {i}")
+        return super().__getitem__(i)
+
+
+def test_loader_substitutes_failed_examples_without_dropping_batches():
+    # A bad example must be substituted, never drop the batch: dropping
+    # desynchronizes batch counts across multi-host ranks (ADVICE r2).
+    ds = _FlakyDataset(12, bad=[5])
+    loader = PrefetchLoader(ds, batch_size=3,
+                            collate=lambda ex: {"i": np.stack([e["i"] for e in ex])},
+                            num_threads=2, shuffle="epoch", num_epochs=2)
+    batches = list(loader)
+    assert len(batches) == 8  # full epoch budget despite the bad example
+    idx = _collect_indices(batches)
+    assert len(idx) == 24 and 5 not in idx
+    assert loader.error_count == 2  # one substitution per epoch
+
+
+def test_loader_raises_when_data_source_is_broken():
+    ds = _FlakyDataset(8, bad=range(8))  # everything fails
+    loader = PrefetchLoader(ds, batch_size=2,
+                            collate=lambda ex: {"i": np.stack([e["i"] for e in ex])},
+                            num_threads=1, shuffle="epoch", num_epochs=1)
+    with pytest.raises(RuntimeError, match="example failures"):
+        list(loader)

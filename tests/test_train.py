@@ -257,6 +257,28 @@ def test_async_checkpoint_manager(tmp_path, cfg, params):
     assert b.shape == snap.shape
 
 
+def test_rotation_never_deletes_the_only_finalized_checkpoint(tmp_path, cfg,
+                                                                params):
+    """With total_limit=1 the previous finalized checkpoint must survive
+    until the NEXT save is durable (ADVICE r2): a crash during the async
+    save window must always leave one restorable checkpoint."""
+    from diffute_tpu.train.checkpoint import (AsyncCheckpointManager,
+                                              list_checkpoints)
+
+    trainer = VAETrainer(cfg, params["vae"], total_steps=10)
+    out = str(tmp_path / "ckpts")
+    mgr = AsyncCheckpointManager(out, total_limit=1)
+    mgr.save(1, trainer.state)
+    mgr._ckptr.wait_until_finished()
+    assert list_checkpoints(out) == ["checkpoint-1"]
+    # second save: rotation runs synchronously inside save() BEFORE the new
+    # async write -- checkpoint-1 must still be on disk at that point
+    mgr.save(2, trainer.state)
+    assert "checkpoint-1" in list_checkpoints(out)
+    mgr.close()  # final trim once checkpoint-2 is durable
+    assert list_checkpoints(out) == ["checkpoint-2"]
+
+
 def test_multi_step_scan_matches_sequential(cfg, params):
     """steps_per_call=K in one lax.scan executable must produce the same
     final params as K sequential step() calls with the same batches/keys."""

@@ -52,3 +52,28 @@ def test_scale_lr_and_low_memory_adam():
     mu_leaves = [x for x in jax.tree_util.tree_leaves(state)
                  if hasattr(x, "dtype") and x.dtype == jnp.bfloat16]
     assert mu_leaves, "expected bf16 first-moment state"
+
+
+def test_metric_writer_tracker_fanout(tmp_path, capsys):
+    """--report_to parity (reference train_diffute_v1.py:277-285): known
+    trackers resolve when importable, unknown/absent ones degrade to stdout
+    with a warning instead of failing the run."""
+    from diffute_tpu.utils.metrics import MetricWriter
+
+    w = MetricWriter(str(tmp_path / "tb"), report_to="tensorboard")
+    w.log(1, {"train_loss": 0.5})
+    w.close()
+    import os
+
+    assert os.listdir(str(tmp_path / "tb"))  # event file written
+
+    w = MetricWriter(None, report_to="wandb")  # not installed in this image
+    w.log(1, {"train_loss": 0.25})
+    w.close()
+    out = capsys.readouterr().out
+    assert "wandb" in out and "train_loss=0.25000" in out
+
+    w = MetricWriter(None, report_to="none")
+    w.log(3, {"x": 1.0})
+    w.close()
+    assert "[step 3] x=1.00000" in capsys.readouterr().out
