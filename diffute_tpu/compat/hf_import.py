@@ -245,6 +245,36 @@ def export_vae_params(params: Mapping) -> Dict[str, np.ndarray]:
     return _export(params)
 
 
+def export_trocr_params(params: Mapping) -> Dict[str, np.ndarray]:
+    """Flax TrOCREncoder params -> transformers ViTModel state_dict (the
+    inverse of ``import_trocr_state_dict``'s ``_VIT_REWRITES``), so trainer
+    checkpoints can carry the frozen conditioning encoder in a layout the
+    reference stack loads (train_diffute_v1.py:631)."""
+    out: Dict[str, np.ndarray] = {}
+    for path, value in _iter_paths(params):
+        leaf = path[-1]
+        torch_leaf, arr = _deconvert_tensor(leaf, value)
+        name = ".".join(path[:-1]) + "." + torch_leaf if path[:-1] else torch_leaf
+        name = re.sub(r"^cls_token$", "embeddings.cls_token", name)
+        name = re.sub(r"^position_embeddings$",
+                      "embeddings.position_embeddings", name)
+        name = re.sub(r"^patch_embeddings\.",
+                      "embeddings.patch_embeddings.projection.", name)
+        name = re.sub(r"^layer_(\d+)\.attention\.(query|key|value)\.",
+                      r"encoder.layer.\1.attention.attention.\2.", name)
+        name = re.sub(r"^layer_(\d+)\.attention\.output_dense\.",
+                      r"encoder.layer.\1.attention.output.dense.", name)
+        name = re.sub(r"^layer_(\d+)\.intermediate_dense\.",
+                      r"encoder.layer.\1.intermediate.dense.", name)
+        name = re.sub(r"^layer_(\d+)\.output_dense\.",
+                      r"encoder.layer.\1.output.dense.", name)
+        name = re.sub(r"^layer_(\d+)\.(layernorm_before|layernorm_after)\.",
+                      r"encoder.layer.\1.\2.", name)
+        name = re.sub(r"^layernorm\.", "layernorm.", name)
+        out[name] = arr
+    return out
+
+
 # ---------------------------------------------------------------------------
 # safetensors IO
 # ---------------------------------------------------------------------------

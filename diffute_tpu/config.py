@@ -254,6 +254,37 @@ class DiffUTEConfig:
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
 
 
+def small_config() -> DiffUTEConfig:
+    """A reduced-width SD2 topology for on-chip convergence experiments.
+
+    Same component structure as the full config (multi-level UNet with
+    cross-attention conditioning on a frozen ViT encoder over glyph renders,
+    KL VAE with 8x spatial downsampling, SD2 noise schedule) at 256^2 pixels
+    / 32^2 latents and ~1/10 the parameters, so the two-stage train ->
+    edit -> OCR-verify loop is demonstrable on one chip in minutes instead
+    of GPU-days (the reference's full recipe: >= 350k VAE steps feeding the
+    UNet stage, train_diffute_v1.py:632).
+    """
+    return DiffUTEConfig(
+        vae=VAEConfig(block_out_channels=(64, 128, 256, 256),
+                      layers_per_block=2, norm_num_groups=32,
+                      sample_size=256, latent_channels=4),
+        unet=UNetConfig(sample_size=32, block_out_channels=(128, 256, 512),
+                        layers_per_block=2,
+                        down_block_has_attn=(True, True, False),
+                        up_block_has_attn=(False, True, True),
+                        num_attention_heads=(2, 4, 8),
+                        cross_attention_dim=256, norm_num_groups=32),
+        trocr=TrOCRConfig(hidden_size=256, num_hidden_layers=4,
+                          num_attention_heads=4, intermediate_size=1024,
+                          image_size=224, patch_size=16),
+        scheduler=SchedulerConfig(),
+        glyph=GlyphConfig(),
+        edit=EditConfig(resolution=256, train_crop_scale=256),
+        train=TrainConfig(train_batch_size=16),
+    )
+
+
 def tiny_test_config() -> DiffUTEConfig:
     """A miniature config for CPU unit tests (all dims shrunk, same topology)."""
     return DiffUTEConfig(

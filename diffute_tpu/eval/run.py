@@ -44,13 +44,24 @@ def parse_args(argv=None):
                    help="diffusers-layout dir (vae/ unet/ trocr/ "
                         "[trocr_decoder/])")
     p.add_argument("--tokenizer", default=None,
-                   help="HF tokenizer dir for string-level OCR comparison")
+                   help="HF tokenizer dir for string-level OCR comparison, "
+                        "or 'char' for the built-in printable-ASCII "
+                        "vocabulary used by train/run_ocr.py")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_examples", type=int, default=16)
     p.add_argument("--out", default=None, help="report JSON path")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random-init models (machinery smoke)")
+    p.add_argument("--model_scale", default="full",
+                   choices=["full", "small"],
+                   help="small = config.small_config scale (matches "
+                        "trainer --model_scale small)")
+    p.add_argument("--randomize", default=None,
+                   help="comma list of components (unet,vae) to re-init "
+                        "randomly AFTER --pretrained loading: the ablation "
+                        "baseline that keeps the verifier (trocr + decoder) "
+                        "and the other components identical")
     p.add_argument("--ocr_max_len", type=int, default=16)
     return p.parse_args(argv)
 
@@ -142,7 +153,8 @@ def build_models(args):
 
     jax.config.update("jax_default_prng_impl", "rbg")
 
-    from diffute_tpu.config import DiffUTEConfig, tiny_test_config
+    from diffute_tpu.config import (DiffUTEConfig, small_config,
+                                    tiny_test_config)
     from diffute_tpu.eval import OCRVerifier
     from diffute_tpu.models.trocr_decoder import TrOCRDecoder, TrOCRDecoderConfig
     from diffute_tpu.pipeline import DiffUTEPipeline
@@ -154,6 +166,11 @@ def build_models(args):
             vocab_size=64, hidden_size=config.trocr.hidden_size,
             decoder_layers=1, decoder_attention_heads=2, decoder_ffn_dim=32,
             max_position_embeddings=64)
+    elif args.model_scale == "small":
+        from diffute_tpu.models.trocr_decoder import small_decoder_config
+
+        config = small_config()
+        dcfg = small_decoder_config()
     else:
         config = DiffUTEConfig()
         dcfg = TrOCRDecoderConfig()  # trocr-large-printed decoder
@@ -164,6 +181,21 @@ def build_models(args):
         params = load_diffusers_layout(args.pretrained, config)
     else:
         params = init_pipeline_params(config, seed=args.seed)
+
+    if args.randomize:
+        # ablation baseline: identical verifier + frozen components, named
+        # trainable components re-initialized (fresh keys, disjoint from any
+        # training init)
+        from diffute_tpu.utils.params import init_unet_params, init_vae_params
+
+        k = jax.random.fold_in(jax.random.PRNGKey(args.seed), 0xab1a7e)
+        inits = {"unet": (0, init_unet_params), "vae": (1, init_vae_params)}
+        for name in args.randomize.split(","):
+            name = name.strip()
+            if name not in inits:
+                raise ValueError(f"--randomize supports unet,vae; got {name!r}")
+            idx, init = inits[name]
+            params[name] = init(config, jax.random.fold_in(k, idx))
 
     decoder = TrOCRDecoder(dcfg)
     dec_params = params.get("trocr_decoder")
@@ -190,7 +222,13 @@ def build_models(args):
                 jnp.zeros((1, enc_seq, config.trocr.hidden_size)))["params"]
 
     tokenizer = None
-    if args.tokenizer:
+    if args.tokenizer == "char":
+        # the deterministic printable-ASCII vocabulary the OCR-verifier
+        # training stage uses (train/run_ocr.py) — no vocab files needed
+        from diffute_tpu.text import CharTokenizer
+
+        tokenizer = CharTokenizer()
+    elif args.tokenizer:
         from transformers import AutoTokenizer
 
         tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)

@@ -195,6 +195,75 @@ class SyntheticSceneDataset:
         }
 
 
+class SyntheticGlyphOCRDataset:
+    """Glyph-render -> character-id pairs for training the OCR verifier.
+
+    The reference uses a pretrained TrOCR as both conditioning encoder and
+    (sketched, commented-out) edit verifier (train_diffute_v1.py:631,
+    app.ipynb:843-847); with no downloadable weights, this dataset trains an
+    equivalent at small scale.  Half the examples are raw glyph canvases
+    (what the conditioning branch sees, ref draw_text :352-368), half are
+    region-style crops — the glyph rescaled onto a light background with the
+    reference's +10%-height box extension (:370-373) — which is what the
+    eval CLI feeds the verifier from edited images.
+    """
+
+    def __init__(self, config: DiffUTEConfig, seed: int = 0,
+                 max_len: int = 16, words=SyntheticSceneDataset._WORDS):
+        from diffute_tpu.text.char_tokenizer import CharTokenizer
+
+        self.config = config
+        self.seed = seed
+        self.max_len = max_len
+        self.words = words
+        self.tokenizer = CharTokenizer()
+        # sampling alphabet for random strings (letters/digits/common
+        # punctuation; the tokenizer itself covers all printable ASCII)
+        self._alphabet = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                         "abcdefghijklmnopqrstuvwxyz0123456789.,-:/% ")
+
+    def __len__(self) -> int:
+        return 1 << 30
+
+    def _sample_text(self, rng) -> str:
+        if rng.random() < 0.4:
+            return self.words[int(rng.integers(len(self.words)))]
+        n = int(rng.integers(1, self.max_len - 2))
+        s = "".join(self._alphabet[int(i)]
+                    for i in rng.integers(len(self._alphabet), size=n))
+        return s.strip() or "x"
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        cfg = self.config
+        rng = np.random.default_rng((self.seed, index))
+        text = self._sample_text(rng)
+        glyph = render_glyph(text, cfg.glyph)
+        if rng.random() < 0.5:
+            # region-style: rescaled glyph on a light background with the
+            # +10%-height bottom extension eval's box crop carries
+            gh, gw = glyph.shape[:2]
+            s = float(rng.uniform(0.3, 1.0))
+            gh2, gw2 = max(8, int(gh * s)), max(8, int(gw * s))
+            scaled = hostops.resize_bilinear_u8(glyph, gh2, gw2)
+            bg = int(rng.integers(180, 255))
+            region = np.full((gh2 + max(1, gh2 // 10), gw2, 3), bg, np.uint8)
+            region[:gh2] = np.minimum(region[:gh2], scaled)
+            glyph = region
+        return {"glyph_image": glyph,
+                "target_ids": self.tokenizer.encode(text, self.max_len)}
+
+
+def make_ocr_batch(examples: List[Dict[str, np.ndarray]],
+                   config: DiffUTEConfig) -> Dict[str, np.ndarray]:
+    from diffute_tpu.text import trocr_preprocess_host
+
+    return {
+        "glyph_pixels": trocr_preprocess_host(
+            [e["glyph_image"] for e in examples], config.trocr),
+        "target_ids": np.stack([e["target_ids"] for e in examples]),
+    }
+
+
 def make_unet_batch(examples: List[Dict[str, np.ndarray]],
                     config: DiffUTEConfig) -> Dict[str, np.ndarray]:
     """Stack examples -> the train-step batch layout.  Variable-width glyph

@@ -51,6 +51,19 @@ class TrOCRDecoderConfig:
     dtype: jnp.dtype = jnp.float32
 
 
+def small_decoder_config() -> TrOCRDecoderConfig:
+    """Char-level decoder matching ``config.small_config()``'s encoder and
+    ``text.CharTokenizer``'s vocabulary — the OCR-verifier scale used by the
+    on-chip convergence experiments (train/run_ocr.py, eval --model_scale
+    small)."""
+    from diffute_tpu.text.char_tokenizer import VOCAB_SIZE
+
+    return TrOCRDecoderConfig(
+        vocab_size=VOCAB_SIZE, hidden_size=256, decoder_layers=2,
+        decoder_attention_heads=4, decoder_ffn_dim=1024,
+        max_position_embeddings=128)
+
+
 class _DecAttention(nn.Module):
     config: TrOCRDecoderConfig
     causal: bool
@@ -263,6 +276,28 @@ def greedy_decode_cached(
     (_, _, ids, _), _ = jax.lax.scan(body, (tok0, caches0, ids0, done0),
                                      jnp.arange(max_len))
     return ids
+
+
+def export_trocr_decoder_state_dict(params) -> dict:
+    """Flax TrOCRDecoder params -> HF TrOCRForCausalLM-style state_dict
+    (``model.decoder.``-prefixed numpy), the inverse of
+    :func:`import_trocr_decoder_state_dict` — so trained OCR checkpoints can
+    ship the verifier decoder in a layout the eval CLI already loads."""
+    import numpy as np
+
+    from diffute_tpu.compat.hf_import import _deconvert_tensor, _iter_paths
+
+    out: dict = {}
+    for path, value in _iter_paths(params):
+        leaf = path[-1]
+        if leaf in ("embed_tokens", "embed_positions"):
+            out[f"model.decoder.{leaf}.weight"] = np.asarray(value)
+            continue
+        torch_leaf, arr = _deconvert_tensor(leaf, value)
+        segs = [s.replace("layers_", "layers.") if s.startswith("layers_")
+                else s for s in path[:-1]]
+        out["model.decoder." + ".".join(segs) + "." + torch_leaf] = arr
+    return out
 
 
 def import_trocr_decoder_state_dict(state_dict) -> dict:

@@ -26,7 +26,8 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-from diffute_tpu.compat import export_unet_params, export_vae_params, save_safetensors
+from diffute_tpu.compat import (export_trocr_params, export_unet_params,
+                                export_vae_params, save_safetensors)
 
 
 def save_checkpoint(output_dir: str, step: int, state: Any,
@@ -168,21 +169,31 @@ def export_diffusers_layout(
     vae_params: Optional[Any] = None,
     unet_config: Optional[dict] = None,
     vae_config: Optional[dict] = None,
+    trocr_params: Optional[Any] = None,
+    trocr_config: Optional[dict] = None,
 ) -> None:
-    """Write ``unet/``, ``unet_ema/``, ``vae/`` subfolders with
-    diffusion_pytorch_model.safetensors + config.json, mirroring the layout
-    the reference's save hooks produce (train_diffute_v1.py:662-675)."""
-    for sub, params, cfg, export in (
-        ("unet", unet_params, unet_config, export_unet_params),
-        ("unet_ema", unet_ema_params, unet_config, export_unet_params),
-        ("vae", vae_params, vae_config, export_vae_params),
+    """Write ``unet/``, ``unet_ema/``, ``vae/`` (and optionally ``trocr/``)
+    subfolders with diffusion_pytorch_model.safetensors + config.json,
+    mirroring the layout the reference's save hooks produce
+    (train_diffute_v1.py:662-675).  Including the frozen ``vae/`` and
+    ``trocr/`` makes a stage-2 checkpoint a SELF-CONTAINED pipeline dir:
+    serve/eval load the exact conditioning encoder training used."""
+    for sub, params, cfg, export, fname in (
+        ("unet", unet_params, unet_config, export_unet_params,
+         "diffusion_pytorch_model.safetensors"),
+        ("unet_ema", unet_ema_params, unet_config, export_unet_params,
+         "diffusion_pytorch_model.safetensors"),
+        ("vae", vae_params, vae_config, export_vae_params,
+         "diffusion_pytorch_model.safetensors"),
+        ("trocr", trocr_params, trocr_config, export_trocr_params,
+         "model.safetensors"),
     ):
         if params is None:
             continue
         d = os.path.join(path, sub)
         os.makedirs(d, exist_ok=True)
         sd = export(jax.tree_util.tree_map(np.asarray, params))
-        save_safetensors(sd, os.path.join(d, "diffusion_pytorch_model.safetensors"))
+        save_safetensors(sd, os.path.join(d, fname))
         if cfg is not None:
             with open(os.path.join(d, "config.json"), "w") as f:
                 json.dump(cfg, f, indent=2)
@@ -208,6 +219,23 @@ def diffusers_unet_config_json(config) -> dict:
         "norm_num_groups": config.norm_num_groups,
         "use_linear_projection": config.use_linear_projection,
         "act_fn": "silu",
+    }
+
+
+def vit_config_json(config) -> dict:
+    """Our TrOCRConfig -> transformers ViTModel config dict (the encoder the
+    reference takes from VisionEncoderDecoderModel, train_diffute_v1.py:631)."""
+    return {
+        "model_type": "vit",
+        "hidden_size": config.hidden_size,
+        "num_hidden_layers": config.num_hidden_layers,
+        "num_attention_heads": config.num_attention_heads,
+        "intermediate_size": config.intermediate_size,
+        "image_size": config.image_size,
+        "patch_size": config.patch_size,
+        "num_channels": config.num_channels,
+        "layer_norm_eps": config.layer_norm_eps,
+        "qkv_bias": config.qkv_bias,
     }
 
 

@@ -63,6 +63,11 @@ def parse_args():
                         "dispatch; state stays on device between steps)")
     p.add_argument("--smoke", action="store_true",
                    help="tiny config + synthetic data, 2 steps")
+    p.add_argument("--model_scale", default="full",
+                   choices=["full", "small"],
+                   help="full = SD2-inpaint topology; small = reduced-width "
+                        "topology (config.small_config) for on-chip "
+                        "convergence experiments")
     return p.parse_args()
 
 
@@ -71,19 +76,23 @@ def main():
 
     import jax
 
+    from diffute_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
     jax.config.update("jax_default_prng_impl", "rbg")
     import numpy as np
 
     from diffute_tpu.config import (DiffUTEConfig, OptimizerConfig,
                                     SchedulerConfig, TrainConfig,
-                                    tiny_test_config)
+                                    small_config, tiny_test_config)
     from diffute_tpu.io import SyntheticSceneDataset, UNetManifestDataset, make_unet_batch
     from diffute_tpu.io.dataset import PrefetchLoader
     from diffute_tpu.parallel import maybe_init_distributed
     from diffute_tpu.train import UNetTrainer
     from diffute_tpu.train.checkpoint import (
         AsyncCheckpointManager, diffusers_unet_config_json,
-        export_diffusers_layout, resolve_resume, restore_checkpoint)
+        diffusers_vae_config_json, export_diffusers_layout, resolve_resume,
+        restore_checkpoint, vit_config_json)
     from diffute_tpu.utils import init_pipeline_params
     from diffute_tpu.utils.metrics import MetricWriter
     from diffute_tpu.utils.profiling import StepTimer
@@ -122,7 +131,9 @@ def main():
         config = dataclasses.replace(tiny_test_config(), train=train_cfg)
         batch_size = max(2, jax.local_device_count())
     else:
-        config = DiffUTEConfig(train=train_cfg)
+        base = (small_config() if args.model_scale == "small"
+                else DiffUTEConfig())
+        config = dataclasses.replace(base, train=train_cfg)
         # per-PROCESS batch: train_batch_size per device, local devices only
         # (multi-host pods assemble the global batch in shard_batch)
         batch_size = args.train_batch_size * jax.local_device_count()
@@ -236,6 +247,26 @@ def main():
     else:
         device_loader = DevicePrefetcher(loader, trainer.mesh,
                                          batch_axis=1 if accum > 1 else 0)
+    # frozen components exported alongside the UNet so every checkpoint is a
+    # self-contained pipeline dir (vae/ trocr/ never change during stage 2;
+    # exported in float32 regardless of the bf16 training cast)
+    frozen_f32 = jax.tree_util.tree_map(
+        lambda x: x.astype("float32"), trainer.frozen)
+
+    def export(p, host):
+        export_diffusers_layout(
+            p, unet_params=host["params"], unet_ema_params=host["ema"],
+            unet_config=diffusers_unet_config_json(config.unet),
+            vae_params=host["vae"],
+            vae_config=diffusers_vae_config_json(config.vae),
+            trocr_params=host["trocr"],
+            trocr_config=vit_config_json(config.trocr))
+
+    def export_args(state):
+        return {"params": state.params,
+                "ema": state.ema.params if state.ema else None,
+                "vae": frozen_f32["vae"], "trocr": frozen_f32["trocr"]}
+
     for batch in device_loader:
         if step >= max_steps:
             break
@@ -262,34 +293,17 @@ def main():
         if step % args.checkpointing_steps < spc or step >= max_steps:
             # async: orbax snapshots to host synchronously (safe under the
             # donated train state), persists + exports in the background
-            state = trainer.state
-            unet_cfg_json = diffusers_unet_config_json(config.unet)
-
-            def export(p, host, cfg_json=unet_cfg_json):
-                export_diffusers_layout(
-                    p, unet_params=host["params"],
-                    unet_ema_params=host["ema"],
-                    unet_config=cfg_json)
-
             last_saved = step
-            path = ckpt_mgr.save(
-                step, state, export_fn=export,
-                export_args={"params": state.params,
-                             "ema": state.ema.params if state.ema else None})
+            path = ckpt_mgr.save(step, trainer.state, export_fn=export,
+                                 export_args=export_args(trainer.state))
             print(f"saved {path}")
     if profiling:
         jax.profiler.stop_trace()
     if step > last_saved:
         # loader exhausted (epoch budget / partial scan group) before a
         # checkpoint boundary: never exit without persisting the last state
-        state = trainer.state
-        path = ckpt_mgr.save(
-            step, state,
-            export_fn=lambda p, host: export_diffusers_layout(
-                p, unet_params=host["params"], unet_ema_params=host["ema"],
-                unet_config=diffusers_unet_config_json(config.unet)),
-            export_args={"params": state.params,
-                         "ema": state.ema.params if state.ema else None})
+        path = ckpt_mgr.save(step, trainer.state, export_fn=export,
+                             export_args=export_args(trainer.state))
         print(f"saved {path}")
     ckpt_mgr.wait()  # last checkpoint durable before exit
     writer.close()

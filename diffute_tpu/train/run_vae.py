@@ -44,6 +44,11 @@ def parse_args():
                    help="optimizer steps per lax.scan executable (amortizes "
                         "dispatch; state stays on device between steps)")
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--model_scale", default="full",
+                   choices=["full", "small"],
+                   help="full = SD2 VAE; small = reduced-width topology "
+                        "(config.small_config) for on-chip convergence "
+                        "experiments")
     return p.parse_args()
 
 
@@ -52,10 +57,14 @@ def main():
 
     import jax
 
+    from diffute_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
     jax.config.update("jax_default_prng_impl", "rbg")
 
     from diffute_tpu.config import (DiffUTEConfig, OptimizerConfig,
-                                    TrainConfig, tiny_test_config)
+                                    TrainConfig, small_config,
+                                    tiny_test_config)
     from diffute_tpu.io import (SyntheticSceneDataset, VAEManifestDataset,
                                 make_vae_batch)
     from diffute_tpu.io.dataset import PrefetchLoader
@@ -95,7 +104,9 @@ def main():
         config = dataclasses.replace(tiny_test_config(), train=train_cfg)
         batch_size = max(2, jax.local_device_count())
     else:
-        config = DiffUTEConfig(train=train_cfg)
+        base = (small_config() if args.model_scale == "small"
+                else DiffUTEConfig())
+        config = dataclasses.replace(base, train=train_cfg)
         # per-PROCESS batch (multi-host pods assemble the global batch in
         # shard_batch)
         batch_size = args.train_batch_size * jax.local_device_count()
