@@ -129,6 +129,7 @@ class DiffUTEPipeline:
         self._prep_cache = {}
         self._decode = jax.jit(self._device_decode)
         self._compiled = {}
+        self._stages = {}  # sig -> (prep, loop, decode) jits, for profiling
 
     # ------------------------------------------------------------------
     # Device programs
@@ -361,6 +362,7 @@ class DiffUTEPipeline:
                 return decode(params["vae"], latents)
 
             self._compiled[sig] = run
+            self._stages[sig] = (prep, loop, decode)
         return self._compiled[sig]
 
     # ------------------------------------------------------------------
@@ -395,6 +397,105 @@ class DiffUTEPipeline:
         result = paste_back(image, edited, region["x_s"], region["y_s"],
                             region["crop_scale"], region["location"])
         return result, mask * 255
+
+    def edit_profiled(
+        self,
+        image: np.ndarray,
+        box: Tuple[int, int, int, int],
+        text: str,
+        num_inference_steps: Optional[int] = None,
+        seed: Optional[int] = None,
+        edit_config: Optional[EditConfig] = None,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        """``edit()`` with a per-stage attribution: returns
+        ``(edited, mask*255, stats)`` where ``stats`` carries seconds per
+        stage (host_prep, prep, loop, decode, paste) and, best-effort, the
+        XLA-reported FLOPs of each device stage (HLO cost analysis on the
+        lowered modules — no extra compile).
+
+        Each stage boundary is synced with a full ``jax.device_get`` (the
+        only true sync on the relay backend — utils/benchmark.py), which
+        adds host round-trips the chained ``edit()`` path does not pay; use
+        these numbers to ATTRIBUTE latency, and un-instrumented ``edit()``
+        timings for throughput.
+        """
+        import time
+
+        ec = edit_config or self.config.edit
+        steps = num_inference_steps or ec.num_inference_steps
+        seed = ec.seed if seed is None else seed
+        res = ec.resolution
+        use_cfg = ec.guidance_scale > 1.0
+        blend = ec.masked_latent_blend
+
+        stats: Dict[str, float] = {}
+        t0 = time.perf_counter()
+        image = np.asarray(image, dtype=np.uint8)
+        box = _validate_box(box, image.shape[:2])
+        region, mask = self._prepare_region(image, box, text, res, rng)
+        glyph384 = trocr_preprocess_host([region["glyph"]], self.config.trocr)
+        dummy = np.zeros((1, 1, 1, 3), np.uint8)
+        null384 = (trocr_preprocess_host([render_glyph("", self.config.glyph)],
+                                         self.config.trocr)
+                   if use_cfg else dummy)
+        inputs = (region["crop512"][None] if blend else dummy,
+                  region["mask512"][None], region["masked512"][None], glyph384)
+        inputs = tuple(jnp.asarray(x) for x in inputs)
+        null384 = jnp.asarray(null384)
+        stats["host_prep_s"] = time.perf_counter() - t0
+
+        # make sure the compiled stages exist (and warm them) before timing
+        self._get_compiled(steps, ec.sampler, ec.guidance_scale, blend,
+                           ec.encoder_reuse_interval)
+        sig = (steps, ec.sampler, ec.guidance_scale, blend,
+               ec.encoder_reuse_interval)
+        prep, loop, decode = self._stages[sig]
+
+        k_prep, k_loop = jax.random.split(jax.random.PRNGKey(seed))
+        t0 = time.perf_counter()
+        prepped = jax.device_get(prep(self.params, *inputs, null384, k_prep))
+        stats["prep_s"] = time.perf_counter() - t0
+        prepped = tuple(jnp.asarray(x) for x in prepped)
+        t0 = time.perf_counter()
+        latents = jax.device_get(loop(self.params["unet"], *prepped, k_loop))
+        stats["loop_s"] = time.perf_counter() - t0
+        latents = jnp.asarray(latents)
+        t0 = time.perf_counter()
+        out = np.asarray(jax.device_get(decode(self.params["vae"], latents)))
+        stats["decode_s"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        result = paste_back(image, out[0], region["x_s"], region["y_s"],
+                            region["crop_scale"], region["location"])
+        stats["paste_s"] = time.perf_counter() - t0
+
+        stats["flops"] = self._stage_flops(sig, inputs, null384)
+        return result, mask * 255, stats
+
+    def _stage_flops(self, sig, inputs, null384) -> Optional[Dict[str, float]]:
+        """XLA HLO-cost-analysis FLOPs per device stage for a batch-1 edit
+        (best-effort: None when the backend's lowering can't report it)."""
+        prep, loop, decode = self._stages[sig]
+        key = jax.random.PRNGKey(0)
+        try:
+            def flops_of(lowered):
+                ca = lowered.cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                return float(ca["flops"])
+
+            prep_f = flops_of(prep.lower(self.params, *inputs, null384, key))
+            prepped = jax.eval_shape(prep, self.params, *inputs, null384, key)
+            prepped = tuple(jnp.zeros(x.shape, x.dtype) for x in prepped)
+            loop_f = flops_of(loop.lower(self.params["unet"], *prepped, key))
+            lat = jax.eval_shape(loop, self.params["unet"], *prepped, key)
+            decode_f = flops_of(decode.lower(
+                self.params["vae"], jnp.zeros(lat.shape, lat.dtype)))
+            return {"prep": prep_f, "loop": loop_f, "decode": decode_f,
+                    "total": prep_f + loop_f + decode_f}
+        except Exception:
+            return None
 
     def edit_multi(
         self,
