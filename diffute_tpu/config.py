@@ -79,6 +79,9 @@ class UNetConfig:
     use_flash_attention: bool = False
     # Use the fused Pallas GroupNorm+SiLU kernel in resnet blocks.
     use_fused_groupnorm: bool = False
+    # Serve transformer weights int8 (per-channel scales, Pallas int8-read
+    # matmul) — inference only; see diffute_tpu.ops.quant.
+    use_int8_weights: bool = False
     # Rematerialize attention/resnet blocks to trade FLOPs for HBM (training).
     remat: bool = False
 

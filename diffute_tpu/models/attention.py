@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from diffute_tpu.models.layers import QuantDense
 from diffute_tpu.ops import dot_product_attention
 
 KV = Tuple[jax.Array, jax.Array]  # each (B, T, heads, head_dim)
@@ -38,16 +39,18 @@ class Attention(nn.Module):
     use_flash: bool = False
     out_bias: bool = True
     qkv_bias: bool = False
+    use_int8: bool = False
 
     def setup(self):
         inner = self.num_heads * self.head_dim
-        dense = lambda name: nn.Dense(inner, use_bias=self.qkv_bias,
-                                      dtype=self.dtype, name=name)
+        Dense = QuantDense if self.use_int8 else nn.Dense
+        dense = lambda name: Dense(inner, use_bias=self.qkv_bias,
+                                   dtype=self.dtype, name=name)
         self.to_q = dense("to_q")
         self.to_k = dense("to_k")
         self.to_v = dense("to_v")
-        self.to_out_0 = nn.Dense(inner, use_bias=self.out_bias,
-                                 dtype=self.dtype, name="to_out_0")
+        self.to_out_0 = Dense(inner, use_bias=self.out_bias,
+                              dtype=self.dtype, name="to_out_0")
 
     def kv(self, context: jax.Array) -> KV:
         """Project context -> (k, v), each (B, T, H, D) — precomputable."""
@@ -75,10 +78,12 @@ class Attention(nn.Module):
 class GEGLU(nn.Module):
     inner_dim: int
     dtype: jnp.dtype = jnp.float32
+    use_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.Dense(self.inner_dim * 2, dtype=self.dtype, name="proj")(x)
+        Dense = QuantDense if self.use_int8 else nn.Dense
+        h = Dense(self.inner_dim * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         # exact (erf) GELU — SD's GEGLU uses torch F.gelu, not the tanh
         # approximation (flax's default)
@@ -89,11 +94,14 @@ class FeedForward(nn.Module):
     dim: int
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
+    use_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = GEGLU(self.dim * self.mult, dtype=self.dtype, name="net_0")(x)
-        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+        x = GEGLU(self.dim * self.mult, dtype=self.dtype,
+                  use_int8=self.use_int8, name="net_0")(x)
+        Dense = QuantDense if self.use_int8 else nn.Dense
+        return Dense(self.dim, dtype=self.dtype, name="net_2")(x)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -101,10 +109,12 @@ class BasicTransformerBlock(nn.Module):
     head_dim: int
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    use_int8: bool = False
 
     def setup(self):
         attn_kw = dict(num_heads=self.num_heads, head_dim=self.head_dim,
-                       dtype=self.dtype, use_flash=self.use_flash)
+                       dtype=self.dtype, use_flash=self.use_flash,
+                       use_int8=self.use_int8)
         # torch nn.LayerNorm default eps (the SD2 checkpoints' value) is
         # 1e-5; flax's default is 1e-6
         self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
@@ -112,7 +122,8 @@ class BasicTransformerBlock(nn.Module):
         self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.attn2 = Attention(**attn_kw)
         self.norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
-        self.ff = FeedForward(self.num_heads * self.head_dim, dtype=self.dtype)
+        self.ff = FeedForward(self.num_heads * self.head_dim,
+                              dtype=self.dtype, use_int8=self.use_int8)
 
     def cross_kv(self, context: jax.Array) -> KV:
         return self.attn2.kv(context)
@@ -139,14 +150,16 @@ class Transformer2D(nn.Module):
     use_linear_projection: bool = True
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    use_int8: bool = False
 
     def setup(self):
         c = self.num_heads * self.head_dim
         self.norm = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
                                  dtype=self.dtype)
+        Dense = QuantDense if self.use_int8 else nn.Dense
         if self.use_linear_projection:
-            self.proj_in = nn.Dense(c, dtype=self.dtype)
-            self.proj_out = nn.Dense(c, dtype=self.dtype)
+            self.proj_in = Dense(c, dtype=self.dtype)
+            self.proj_out = Dense(c, dtype=self.dtype)
         else:
             self.proj_in = nn.Conv(c, (1, 1), dtype=self.dtype)
             self.proj_out = nn.Conv(c, (1, 1), dtype=self.dtype)
@@ -154,7 +167,7 @@ class Transformer2D(nn.Module):
             BasicTransformerBlock(
                 num_heads=self.num_heads, head_dim=self.head_dim,
                 dtype=self.dtype, use_flash=self.use_flash,
-                name=f"transformer_blocks_{i}")
+                use_int8=self.use_int8, name=f"transformer_blocks_{i}")
             for i in range(self.depth)
         ]
 

@@ -19,6 +19,39 @@ import jax
 import jax.numpy as jnp
 
 
+class QuantDense(nn.Module):
+    """Dense layer over int8 weights with per-output-channel scales.
+
+    Drop-in for ``nn.Dense`` in SERVING paths (no custom VJP): params are
+    ``kernel_q`` (K, N) int8 + ``kernel_scale`` (N,) f32 instead of a float
+    ``kernel``; :func:`diffute_tpu.ops.quant.convert_dense_params_to_int8`
+    rewrites a float checkpoint tree into this structure.  The matmul reads
+    int8 from HBM and applies the scale to the accumulator
+    (diffute_tpu.ops.quant.quant_matmul) — the weight-bandwidth half of the
+    reference's 8-bit opt-ins (train_diffute_v1.py:244-248).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from diffute_tpu.ops.quant import quant_matmul
+
+        k = x.shape[-1]
+        q = self.param("kernel_q", nn.initializers.zeros,
+                       (k, self.features), jnp.int8)
+        scale = self.param("kernel_scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        y = quant_matmul(x.astype(self.dtype), q, scale)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+            y = y + b.astype(y.dtype)
+        return y
+
+
 def timestep_embedding(
     timesteps: jax.Array,
     dim: int,

@@ -67,7 +67,8 @@ class UNet2DCondition(nn.Module):
                 num_heads=heads, head_dim=ch // heads,
                 use_linear_projection=cfg.use_linear_projection,
                 groups=cfg.norm_num_groups, dtype=cfg.dtype,
-                use_flash=cfg.use_flash_attention, name=name)
+                use_flash=cfg.use_flash_attention,
+                use_int8=cfg.use_int8_weights, name=name)
 
         self.time_embedding = TimestepEmbedding(ch0 * 4, dtype=cfg.dtype)
         self.conv_in = nn.Conv(ch0, (3, 3), padding=((1, 1), (1, 1)),

@@ -57,6 +57,13 @@ def normalize_image(x_uint8: jax.Array) -> jax.Array:
     return (x_uint8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
 
 
+def _has_quant_leaves(tree) -> bool:
+    if isinstance(tree, dict):
+        return "kernel_q" in tree or any(_has_quant_leaves(v)
+                                         for v in tree.values())
+    return False
+
+
 def _cast_floating(tree, dtype):
     """Cast floating-point leaves of a param tree to ``dtype`` (no-op for
     f32 configs, e.g. the numeric-parity tests)."""
@@ -110,9 +117,23 @@ class DiffUTEPipeline:
         # numerically identical — but casting once here halves the weight
         # bytes the UNet reads from HBM per denoise step (~1.7 GB vs 3.4 GB
         # for the 866M-param UNet in bf16) and halves upload/residency.
+        unet_params = params["unet"]
+        if config.unet.use_int8_weights and not _has_quant_leaves(unet_params):
+            # rewrite float transformer kernels -> int8 + per-channel scales
+            # matching the use_int8 module structure (checkpoints stay float)
+            from diffute_tpu.ops.quant import convert_dense_params_to_int8
+
+            res = config.edit.resolution // config.vae.scale_factor
+            target = jax.eval_shape(
+                self.unet.init, jax.random.PRNGKey(0),
+                jnp.zeros((1, res, res, config.unet.in_channels)),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, config.trocr.seq_len,
+                           config.unet.cross_attention_dim)))["params"]
+            unet_params = convert_dense_params_to_int8(unet_params, target)
         params = {
             "vae": _cast_floating(params["vae"], config.vae.dtype),
-            "unet": _cast_floating(params["unet"], config.unet.dtype),
+            "unet": _cast_floating(unet_params, config.unet.dtype),
             "trocr": _cast_floating(params["trocr"], config.trocr.dtype),
         }
         if mesh is not None:
