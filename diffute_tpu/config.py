@@ -186,7 +186,7 @@ class OptimizerConfig:
     the full 866M UNet train on a single 16GB v5e chip.
     """
 
-    name: str = "adamw"  # {adamw, adafactor}
+    name: str = "adamw"  # {adamw, adafactor, adamw8bit}
     learning_rate: float = 1e-4
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999

@@ -83,6 +83,33 @@ def _pallas_matmul_w8(x2d, q, scale, block_m: int = 256, block_n: int = 256):
     return out
 
 
+def quantize_blockwise(x: jax.Array, block: int = 256
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Any-shape float -> ((nb, block) int8, (nb,) f32 absmax scales).
+
+    Flattens, zero-pads to a block multiple, symmetric RTN per block — the
+    storage scheme of bnb's 8-bit optimizer states (reference opt-in
+    train_diffute_v1.py:244-248)."""
+    flat = jnp.ravel(x).astype(jnp.float32)
+    n = flat.shape[0]
+    nb = -(-n // block)
+    flat = jnp.pad(flat, (0, nb * block - n)).reshape(nb, block)
+    amax = jnp.max(jnp.abs(flat), axis=1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(flat / scale[:, None]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def dequantize_blockwise(q: jax.Array, scale: jax.Array,
+                         shape: Tuple[int, ...]) -> jax.Array:
+    """Inverse of :func:`quantize_blockwise` back to ``shape`` (f32)."""
+    numel = 1
+    for d in shape:
+        numel *= d
+    flat = (q.astype(jnp.float32) * scale[:, None]).reshape(-1)[:numel]
+    return flat.reshape(shape)
+
+
 def convert_dense_params_to_int8(params, target):
     """Rewrite a float param tree into the structure of a ``use_int8`` model.
 

@@ -37,9 +37,10 @@ def parse_args():
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--scale_lr", action="store_true")
     p.add_argument("--optimizer", default="adamw",
-                   choices=["adamw", "adafactor"],
-                   help="adafactor = factored second moment; fits the full "
-                        "UNet on a single 16GB chip")
+                   choices=["adamw", "adafactor", "adamw8bit"],
+                   help="adafactor = factored second moment (fits the full "
+                        "UNet on a single 16GB chip); adamw8bit = int8 "
+                        "moments, the bnb AdamW8bit analogue")
     p.add_argument("--use_8bit_adam", action="store_true",
                    help="low-memory Adam moments (bf16 mu, TPU analogue)")
     p.add_argument("--mixed_precision", default="no", choices=["no", "bf16"])

@@ -30,7 +30,7 @@ def parse_args():
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--scale_lr", action="store_true")
     p.add_argument("--optimizer", default="adamw",
-                   choices=["adamw", "adafactor"])
+                   choices=["adamw", "adafactor", "adamw8bit"])
     p.add_argument("--mixed_precision", default="no", choices=["no", "bf16"])
     p.add_argument("--gradient_checkpointing", action="store_true")
     p.add_argument("--checkpointing_steps", type=int, default=500)

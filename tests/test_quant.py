@@ -59,6 +59,66 @@ def _unet_inputs(cfg, key):
     return x, t, ctx
 
 
+def test_blockwise_quant_round_trip():
+    from diffute_tpu.ops.quant import dequantize_blockwise, quantize_blockwise
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(3, 5, 7)).astype(np.float32)  # 105 elems, pads to 256
+    q, s = quantize_blockwise(jnp.asarray(x), block=256)
+    assert q.shape == (1, 256) and q.dtype == jnp.int8
+    back = np.asarray(dequantize_blockwise(q, s, x.shape))
+    assert back.shape == x.shape
+    assert np.abs(back - x).max() <= np.abs(x).max() / 127.0 * 0.51 + 1e-7
+
+
+def test_adam_int8_tracks_adam():
+    """The int8-state Adam must optimize a toy problem essentially as well
+    as float Adam (the bnb AdamW8bit analogue, reference
+    train_diffute_v1.py:244-248)."""
+    import optax
+
+    from diffute_tpu.train.optim import scale_by_adam_int8
+
+    def loss_fn(p):
+        return jnp.sum((p["w"] - 3.0) ** 2) + jnp.sum((p["b"] + 1.0) ** 2)
+
+    def run(tx):
+        params = {"w": jnp.zeros((17, 9)), "b": jnp.zeros((5,))}
+        state = tx.init(params)
+
+        @jax.jit
+        def step(params, state):
+            g = jax.grad(loss_fn)(params)
+            upd, state = tx.update(g, state, params)
+            return optax.apply_updates(params, upd), state
+
+        for _ in range(200):
+            params, state = step(params, state)
+        return params, state
+
+    lr = optax.scale(-0.05)
+    p8, s8 = run(optax.chain(scale_by_adam_int8(), lr))
+    pf, _ = run(optax.chain(optax.scale_by_adam(), lr))
+    assert float(loss_fn(p8)) < 1e-2, f"int8 adam failed: {float(loss_fn(p8))}"
+    # close to the float-Adam trajectory endpoint
+    assert abs(float(loss_fn(p8)) - float(loss_fn(pf))) < 1e-2
+    # and the moments really are int8
+    leaves = jax.tree_util.tree_leaves(s8[0]["mu"])
+    assert any(x.dtype == jnp.int8 for x in leaves)
+
+
+def test_build_optimizer_adamw8bit():
+    from diffute_tpu.config import OptimizerConfig
+    from diffute_tpu.train.optim import build_optimizer
+
+    tx = build_optimizer(OptimizerConfig(name="adamw8bit"), total_steps=100)
+    params = {"k": jnp.ones((8, 8))}
+    state = tx.init(params)
+    g = {"k": jnp.full((8, 8), 0.1)}
+    upd, _ = tx.update(g, state, params)
+    assert jnp.isfinite(upd["k"]).all()
+
+
 def test_int8_unet_parity():
     """Quantized UNet output tracks float within int8-weight tolerance."""
     from diffute_tpu.models import UNet2DCondition
