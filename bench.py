@@ -70,6 +70,8 @@ def main() -> None:
     # img/s) because the pallas_call is a fusion barrier for XLA.
     p.add_argument("--fused-gn", action="store_true",
                    help="enable the fused GroupNorm+SiLU Pallas kernel")
+    p.add_argument("--fused-conv", action="store_true",
+                   help="enable the fused GN+SiLU+conv3x3 Pallas kernel")
     p.add_argument("--int8", action="store_true",
                    help="serve UNet transformer weights int8 (Pallas "
                         "int8-read matmul; ops/quant.py)")
@@ -124,6 +126,7 @@ def main() -> None:
             unet=UNetConfig(dtype=dtype,
                             use_flash_attention=use_pallas and not args.no_flash,
                             use_fused_groupnorm=use_pallas and args.fused_gn,
+                            use_fused_conv=use_pallas and args.fused_conv,
                             use_int8_weights=args.int8),
             trocr=TrOCRConfig(dtype=dtype),
             edit=EditConfig(resolution=args.res, sampler=args.sampler,
@@ -171,6 +174,7 @@ def main() -> None:
     value = args.batch / dt
     reuse_tag = f", encoder-reuse k={args.reuse}" if args.reuse > 1 else ""
     reuse_tag += ", int8-weights" if args.int8 else ""
+    reuse_tag += ", fused-conv" if args.fused_conv else ""
     batch_tag = f", batch {args.batch}" if args.batch > 1 else ""
     tiny_tag = ", TINY-CPU-FALLBACK" if (error or args.tiny) and backend == "cpu" else ""
     out = {

@@ -82,6 +82,9 @@ class UNetConfig:
     # Serve transformer weights int8 (per-channel scales, Pallas int8-read
     # matmul) — inference only; see diffute_tpu.ops.quant.
     use_int8_weights: bool = False
+    # Fuse GN+SiLU+conv3x3 into one Pallas kernel per resnet half
+    # (ops/conv_fused.py) — the normalized tensor never leaves VMEM.
+    use_fused_conv: bool = False
     # Rematerialize attention/resnet blocks to trade FLOPs for HBM (training).
     remat: bool = False
 

@@ -116,6 +116,33 @@ class GroupNormSiLU(nn.Module):
                                use_pallas=self.use_pallas)
 
 
+class _AffineParams(nn.Module):
+    """GroupNorm-compatible (scale, bias) params without the compute —
+    lets the fused GN+SiLU+conv kernel own the math while the param tree
+    stays bit-identical to ``nn.GroupNorm`` (checkpoint-interchangeable)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.features,)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
+class _Conv3x3Params(nn.Module):
+    """``nn.Conv(3x3)``-compatible (kernel, bias) params (HWIO)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class ResnetBlock2D(nn.Module):
     """GroupNorm -> SiLU -> Conv ×2 with optional time-embedding injection."""
 
@@ -125,6 +152,7 @@ class ResnetBlock2D(nn.Module):
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     fused_gn: bool = False
+    fused_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
@@ -137,18 +165,29 @@ class ResnetBlock2D(nn.Module):
                               dtype=self.dtype, name=name)
             return lambda x: nn.silu(gn(x))
 
-        h = norm_silu("norm1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, name="conv1")(h)
+        def gn_conv(norm_name, conv_name, inp):
+            """One GN->SiLU->conv3x3 half of the block."""
+            if self.fused_conv:
+                from diffute_tpu.ops.conv_fused import gn_silu_conv3x3
+
+                s, b = _AffineParams(inp.shape[-1], name=norm_name)()
+                k, cb = _Conv3x3Params(inp.shape[-1], self.out_channels,
+                                       name=conv_name)()
+                return gn_silu_conv3x3(inp.astype(self.dtype), s, b, k, cb,
+                                       self.groups, self.eps)
+            h = norm_silu(norm_name)(inp)
+            return nn.Conv(self.out_channels, (3, 3),
+                           padding=((1, 1), (1, 1)), dtype=self.dtype,
+                           name=conv_name)(h)
+
+        h = gn_conv("norm1", "conv1", x)
         if self.use_time_emb:
             assert temb is not None
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = norm_silu("norm2")(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, name="conv2")(h)
+        h = gn_conv("norm2", "conv2", h)
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                         name="conv_shortcut")(x)

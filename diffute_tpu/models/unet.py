@@ -58,7 +58,8 @@ class UNet2DCondition(nn.Module):
             transformer = nn.remat(Transformer2D)
         resnet = functools.partial(resnet, groups=cfg.norm_num_groups,
                                    dtype=cfg.dtype,
-                                   fused_gn=cfg.use_fused_groupnorm)
+                                   fused_gn=cfg.use_fused_groupnorm,
+                                   fused_conv=cfg.use_fused_conv)
 
         def attn(i, name):
             heads = cfg.num_attention_heads[i]
