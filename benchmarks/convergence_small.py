@@ -38,6 +38,10 @@ import shutil
 import subprocess
 import sys
 
+# runnable as `python benchmarks/convergence_small.py` from the repo root:
+# sys.path[0] is benchmarks/, so add the repo root for diffute_tpu imports
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def sh(args_list, log_path):
     print("+", " ".join(args_list), f"(log: {log_path})", flush=True)
@@ -138,6 +142,8 @@ def main():
            os.path.join(out, "eval.log"))
 
     # summary
+    if "eval" in skip:
+        return
     with open(os.path.join(out, "report_trained.json")) as f:
         trained = json.load(f)
     with open(os.path.join(out, "report_random.json")) as f:

@@ -265,17 +265,24 @@ def small_config() -> DiffUTEConfig:
 
     Same component structure as the full config (multi-level UNet with
     cross-attention conditioning on a frozen ViT encoder over glyph renders,
-    KL VAE with 8x spatial downsampling, SD2 noise schedule) at 256^2 pixels
-    / 32^2 latents and ~1/10 the parameters, so the two-stage train ->
-    edit -> OCR-verify loop is demonstrable on one chip in minutes instead
-    of GPU-days (the reference's full recipe: >= 350k VAE steps feeding the
-    UNet stage, train_diffute_v1.py:632).
+    KL VAE, SD2 noise schedule) at 256^2 pixels / 64^2 latents and ~1/10 the
+    parameters, so the two-stage train -> edit -> OCR-verify loop is
+    demonstrable on one chip in minutes instead of GPU-days (the reference's
+    full recipe: >= 350k VAE steps feeding the UNet stage,
+    train_diffute_v1.py:632).
+
+    The VAE downsamples 4x (3 blocks), not the full config's 8x: measured on
+    the trained 8x small VAE, direct reconstruction of ~20-40 px text was
+    OCR-unreadable (the edit's fidelity upper bound), so the small scale
+    keeps the UNet at the SAME 64^2 latent grid as full SD2 while giving the
+    VAE 4x more latent capacity per pixel — pure-MSE training (the
+    reference's stage-1 loss, train_vae.py:724) then preserves text.
     """
     return DiffUTEConfig(
-        vae=VAEConfig(block_out_channels=(64, 128, 256, 256),
+        vae=VAEConfig(block_out_channels=(64, 128, 256),
                       layers_per_block=2, norm_num_groups=32,
                       sample_size=256, latent_channels=4),
-        unet=UNetConfig(sample_size=32, block_out_channels=(128, 256, 512),
+        unet=UNetConfig(sample_size=64, block_out_channels=(128, 256, 512),
                         layers_per_block=2,
                         down_block_has_attn=(True, True, False),
                         up_block_has_attn=(False, True, True),

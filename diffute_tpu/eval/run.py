@@ -63,6 +63,10 @@ def parse_args(argv=None):
                         "baseline that keeps the verifier (trocr + decoder) "
                         "and the other components identical")
     p.add_argument("--ocr_max_len", type=int, default=16)
+    p.add_argument("--reuse", type=int, default=1,
+                   help="encoder propagation interval (Faster Diffusion); "
+                        "1 = exact sampling — lets the speed opt-in be "
+                        "QUALITY-ablated against the exact sampler")
     return p.parse_args(argv)
 
 
@@ -253,13 +257,19 @@ def run_eval(args) -> dict:
     else:
         examples = _iter_synthetic(max(1, args.synthetic or 4), args.seed)
 
+    edit_cfg = config.edit
+    if args.reuse > 1:
+        import dataclasses as _dc
+
+        edit_cfg = _dc.replace(edit_cfg, encoder_reuse_interval=args.reuse)
+
     rows = []
     for i, (image, box, text) in enumerate(examples):
         if i >= args.max_examples:
             break
         edited, mask255 = pipe.edit(image, box, text,
                                     num_inference_steps=args.steps,
-                                    seed=args.seed)
+                                    seed=args.seed, edit_config=edit_cfg)
         row = _background_metrics(image, edited, mask255)
         x1, y1, x2, y2 = box
         region = edited[y1:y2, x1:x2]
@@ -284,6 +294,7 @@ def run_eval(args) -> dict:
     report = {
         "num_examples": len(rows),
         "steps": args.steps,
+        "encoder_reuse_interval": args.reuse,
         "ssim_background_mean": float(np.mean([r["ssim_background"]
                                                for r in rows])),
         "psnr_background_mean": float(np.mean([r["psnr_background"]

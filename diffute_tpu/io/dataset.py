@@ -249,6 +249,21 @@ class SyntheticGlyphOCRDataset:
             region = np.full((gh2 + max(1, gh2 // 10), gw2, 3), bg, np.uint8)
             region[:gh2] = np.minimum(region[:gh2], scaled)
             glyph = region
+        # degradation augmentation: the verifier must read text that came
+        # through a VAE decode (smeared edges) and a diffusion sampler
+        # (residual noise), not just crisp FreeType output — measured on the
+        # first trained verifier: a 2x2 box blur destroyed reading entirely
+        if rng.random() < 0.5:
+            h0, w0 = glyph.shape[:2]
+            f = float(rng.uniform(0.45, 0.85))
+            small = hostops.resize_bilinear_u8(
+                glyph, max(4, int(h0 * f)), max(4, int(w0 * f)))
+            glyph = hostops.resize_bilinear_u8(small, h0, w0)
+        if rng.random() < 0.5:
+            noise = rng.normal(0.0, float(rng.uniform(2.0, 12.0)),
+                               glyph.shape)
+            glyph = np.clip(glyph.astype(np.float32) + noise,
+                            0, 255).astype(np.uint8)
         return {"glyph_image": glyph,
                 "target_ids": self.tokenizer.encode(text, self.max_len)}
 
