@@ -93,12 +93,39 @@ def bench_glyph_trocr():
         return jax.device_get(feats), mask
 
     one_region()  # compile
-    t0 = time.perf_counter()
     n = 10
+    t0 = time.perf_counter()
     for i in range(n):
         one_region(f"Hello TPU {i}")
     t = (time.perf_counter() - t0) / n
-    return {"seconds": t, "unit": "s/region (render+mask+TrOCR 577x1024 feats)"}
+
+    # Attribution (round-2 verdict: 87 ms vs 398 ms across rounds was
+    # unexplainable from one scalar): split host work from the encode, and
+    # time the encode both with the full (1, 577, 1024) feature fetch and
+    # with a scalar-checksum output — the difference is pure relay
+    # transfer, the dominant variance source on the tunneled chip.
+    t0 = time.perf_counter()
+    for i in range(n):
+        _render_cached.cache_clear()
+        glyph = render_glyph(f"Host only {i}")
+        box = process_location([100, 100, 400, 140], (768, 1024))
+        generate_mask((768, 1024), box)
+        g = trocr_preprocess_host([glyph], tcfg)
+    host_s = (time.perf_counter() - t0) / n
+
+    from diffute_tpu.utils.benchmark import time_fn
+
+    garr = jnp.asarray(g)
+    encode_fetch_s = time_fn(enc, params, garr, repeats=5)
+    enc_sum = jax.jit(
+        lambda p, g: trocr.apply({"params": p},
+                                 trocr_normalize(g)).astype(jnp.float32).sum())
+    encode_s = time_fn(enc_sum, params, garr, repeats=5)
+    return {"seconds": t,
+            "unit": "s/region (render+mask+TrOCR 577x1024 feats)",
+            "host_s": host_s, "encode_s_scalar_fetch": encode_s,
+            "encode_s_full_fetch": encode_fetch_s,
+            "fetch_mb": round(577 * 1024 * 2 / 1e6, 2)}
 
 
 def bench_full_edit(res, steps, sampler="ddim", cfg_scale=1.0, blend=False,

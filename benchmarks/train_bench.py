@@ -43,9 +43,10 @@ def main():
                    help="K optimizer steps per lax.scan executable "
                         "(TrainConfig.steps_per_call)")
     p.add_argument("--optimizer", default="adafactor",
-                   choices=["adamw", "adafactor"],
+                   choices=["adamw", "adafactor", "adamw8bit"],
                    help="adafactor fits the 866M UNet on one 16GB chip; "
-                        "adamw (reference parity) needs more HBM")
+                        "adamw (reference parity) needs more HBM; adamw8bit "
+                        "= int8 moments (bnb analogue)")
     args = p.parse_args()
 
     cfg = DiffUTEConfig(
@@ -100,7 +101,7 @@ def main():
             m = trainer.step(batch, keys[i + 1])
         float(jax.device_get(m["loss"]))
         dt = (time.time() - t0) / args.iters
-    print(json.dumps({
+    out = {
         "metric": f"train images/sec/chip (stage-2, {res}^2, bf16, "
                   f"{args.optimizer}, remat={not args.no_remat}, batch {B}"
                   + (f", scan k={k}" if k > 1 else "") + ")",
@@ -108,7 +109,28 @@ def main():
         "unit": "images/sec/chip",
         "step_seconds": round(dt, 4),
         "loss": round(float(np.mean(jax.device_get(m["loss"]))), 4),
-    }))
+    }
+    # training-step MFU from XLA HLO cost analysis of the compiled step
+    # (counts EXECUTED flops, i.e. includes remat recompute — an honest
+    # hardware-utilization number, slightly above model-flops MFU)
+    try:
+        if k > 1:
+            low = trainer._multi.lower(trainer.state, trainer.frozen,
+                                       batches, keys[0])
+            per_call_steps = k
+        else:
+            low = trainer._step.lower(trainer.state, trainer.frozen,
+                                      batch, keys[0])
+            per_call_steps = 1
+        ca = low.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        step_flops = float(ca["flops"]) / per_call_steps
+        out["hlo_tflops_per_step"] = round(step_flops / 1e12, 2)
+        out["mfu"] = round(step_flops / dt / 197e12, 4)
+    except Exception as e:
+        out["mfu_error"] = str(e)[:120]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
