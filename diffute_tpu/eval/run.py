@@ -88,7 +88,11 @@ def _iter_synthetic(n: int, seed: int,
         text = words[int(rng.integers(len(words)))]
         glyph = render_glyph(text, gcfg)
         gh, gw = glyph.shape[:2]
-        scale = min(1.0, (w * 0.5) / gw, (h * 0.25) / gh)
+        # full-size text, width-capped so the box fits one inference crop
+        # window (see SyntheticSceneDataset.__getitem__): after the crop is
+        # resized to the edit resolution the text stays above the VAE's
+        # measured ~32 px readability threshold
+        scale = min(1.0, (min(h, w) - 24) / gw)
         gw2, gh2 = max(16, int(gw * scale)), max(16, int(gh * scale))
         glyph_s = hostops.resize_bilinear_u8(glyph, gh2, gw2)
         y = int(rng.integers(0, h - gh2))

@@ -149,8 +149,11 @@ class SyntheticSceneDataset:
     Used by smoke training, benchmarks, and tests.
     """
 
+    # all words <= 10 chars: a 256-px crop holding the full box caps text
+    # height at ~256/aspect px, and the VAE needs >=32 px to keep strokes
+    # readable ("hello world" at 11 chars capped out at ~29 px)
     _WORDS = ("INVOICE", "TOTAL", "2023-08-16", "Amount", "Reference",
-              "DiffUTE", "TPU", "hello world", "42.00", "Document")
+              "DiffUTE", "TPU", "hello", "42.00", "Document")
 
     def __init__(self, config: DiffUTEConfig, image_hw=(384, 512), seed: int = 0):
         self.config = config
@@ -169,7 +172,13 @@ class SyntheticSceneDataset:
         text = self._WORDS[int(rng.integers(len(self._WORDS)))]
         glyph = render_glyph(text, cfg.glyph)
         gh, gw = glyph.shape[:2]
-        scale = min(1.0, (w * 0.6) / gw)
+        # Size the text like the documents the reference trains on: tall
+        # enough that its strokes survive the VAE (measured on the trained
+        # small VAE: recon text is OCR-readable at >=32 px, destroyed at
+        # ~20 px), capped so the full box fits an inference crop window
+        # (infer_crop_params bounds the window by the short side).
+        fit = min(1.0, (min(h, w) - 24) / gw)
+        scale = fit * float(rng.uniform(0.55, 1.0))
         gw2, gh2 = max(8, int(gw * scale)), max(8, int(gh * scale))
         glyph_s = hostops.resize_bilinear_u8(glyph, gh2, gw2)
         y = int(rng.integers(0, h - gh2))
@@ -263,6 +272,15 @@ class SyntheticGlyphOCRDataset:
             noise = rng.normal(0.0, float(rng.uniform(2.0, 12.0)),
                                glyph.shape)
             glyph = np.clip(glyph.astype(np.float32) + noise,
+                            0, 255).astype(np.uint8)
+        if rng.random() < 0.5:
+            # ink-contrast fade: diffusion output early in training writes
+            # gray text, and the first trained verifier stopped reading a
+            # clean glyph already at 0.6x contrast — fade ink toward the
+            # local white point so reading survives washed-out strokes
+            c = float(rng.uniform(0.35, 1.0))
+            white = float(glyph.max())
+            glyph = np.clip(white - (white - glyph.astype(np.float32)) * c,
                             0, 255).astype(np.uint8)
         return {"glyph_image": glyph,
                 "target_ids": self.tokenizer.encode(text, self.max_len)}
