@@ -72,6 +72,10 @@ def main():
     p.add_argument("--eval_steps", type=int, default=50)
     p.add_argument("--eval_examples", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--steps_per_call", type=int, default=8,
+                   help="lax.scan stride forwarded to every trainer; >1 "
+                        "amortizes the relay's per-call boundary cost "
+                        "(BASELINE.md training table)")
     p.add_argument("--skip", default="",
                    help="comma list of stages to skip (ocr,vae,unet,eval)")
     args = p.parse_args()
@@ -83,13 +87,20 @@ def main():
     vae_dir = os.path.join(out, "vae")
     unet_dir = os.path.join(out, "unet")
     py = [sys.executable, "-m"]
+    spc = ["--steps_per_call", str(args.steps_per_call)]
+
+    def resume(d):
+        # a killed/restarted chain continues each stage from its newest
+        # finalized checkpoint instead of redoing it
+        from diffute_tpu.train.checkpoint import latest_checkpoint as latest
+        return ["--resume_from_checkpoint", "latest"] if latest(d) else []
 
     if "ocr" not in skip:
         sh(py + ["diffute_tpu.train.run_ocr", "--model_scale", "small",
                  "--max_train_steps", str(args.ocr_steps),
                  "--train_batch_size", "64", "--checkpointing_steps", "1000",
                  "--checkpoints_total_limit", "2", "--report_to", "none",
-                 "--seed", str(args.seed), "--output_dir", ocr_dir],
+                 "--seed", str(args.seed), "--output_dir", ocr_dir] + spc + resume(ocr_dir),
            os.path.join(out, "ocr.log"))
 
     if "vae" not in skip:
@@ -98,7 +109,7 @@ def main():
                  "--train_batch_size", str(args.vae_batch),
                  "--checkpointing_steps", "1000",
                  "--checkpoints_total_limit", "2", "--report_to", "none",
-                 "--seed", str(args.seed), "--output_dir", vae_dir],
+                 "--seed", str(args.seed), "--output_dir", vae_dir] + spc + resume(vae_dir),
            os.path.join(out, "vae.log"))
 
     # assemble the stage-2 "pretrained" dir: trained VAE + trained OCR
@@ -119,7 +130,7 @@ def main():
                  "--learning_rate", str(args.unet_lr),
                  "--checkpointing_steps", "2000",
                  "--checkpoints_total_limit", "2", "--report_to", "none",
-                 "--seed", str(args.seed), "--output_dir", unet_dir],
+                 "--seed", str(args.seed), "--output_dir", unet_dir] + spc + resume(unet_dir),
            os.path.join(out, "unet.log"))
 
     if "eval" not in skip:

@@ -143,8 +143,17 @@ def _background_metrics(original: np.ndarray, edited: np.ndarray,
 
 
 def _id_match(a: np.ndarray, b: np.ndarray, eos_id: int) -> float:
-    """Fraction of positions (up to the first EOS in either) that agree."""
+    """Fraction of positions (up to the first EOS in either) that agree.
+
+    Two immediately-empty reads (EOS at position 0 on both sides) score 0,
+    not 1: that pattern means the verifier read *nothing* from either image
+    — typical of an untrained decoder — and counting it as perfect
+    agreement would inflate random-init baselines with a metric that
+    carries no evidence (VERDICT r2 weak #8).
+    """
     a, b = np.asarray(a), np.asarray(b)
+    if len(a) and len(b) and a[0] == eos_id and b[0] == eos_id:
+        return 0.0
     stop = len(a)
     for i, (x, y) in enumerate(zip(a, b)):
         if x == eos_id or y == eos_id:

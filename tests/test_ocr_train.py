@@ -191,3 +191,16 @@ def test_trained_verifier_reads_and_discriminates(trained_verifier):
     # blank background reads as neither word
     blank = np.full_like(glyphs[0], 230)
     assert verifier.read_text([blank])[0] != words[0]
+
+
+def test_id_match_degenerate_empty_reads_score_zero():
+    """An untrained verifier emits EOS at position 0 for everything; two
+    empty reads must NOT count as perfect agreement (VERDICT r2 weak #8)."""
+    from diffute_tpu.eval.run import _id_match
+
+    eos = 2
+    empty = np.array([eos, 0, 0], np.int32)
+    word = np.array([5, 7, eos], np.int32)
+    assert _id_match(empty, empty, eos) == 0.0
+    assert _id_match(empty, word, eos) == 0.0
+    assert _id_match(word, word, eos) == 1.0
