@@ -43,9 +43,10 @@ def save_checkpoint(output_dir: str, step: int, state: Any,
     ckptr.save(os.path.join(path, "state"), state)
     ckptr.wait_until_finished()
     if total_limit:
-        ckpts = list_checkpoints(output_dir)
-        for old in ckpts[:-total_limit]:
-            shutil.rmtree(os.path.join(output_dir, old), ignore_errors=True)
+        keep = set(list_checkpoints(output_dir, finalized_only=True)[-total_limit:])
+        for old in list_checkpoints(output_dir):
+            if old not in keep:
+                shutil.rmtree(os.path.join(output_dir, old), ignore_errors=True)
     return path
 
 
@@ -99,6 +100,11 @@ class AsyncCheckpointManager:
             # the new async save commits
             self._rotate(keep=max(1, self.total_limit - 1))
         path = os.path.join(self.output_dir, f"checkpoint-{step}")
+        if os.path.isdir(path) and not _is_finalized(self.output_dir,
+                                                     f"checkpoint-{step}"):
+            # stale leftover from a crashed save at this same step — orbax
+            # refuses to write into an existing tmp dir
+            shutil.rmtree(path, ignore_errors=True)
         self._ckptr.save(os.path.join(path, "state"),
                          args=ocp.args.StandardSave(state))
         if export_fn is not None:
@@ -110,9 +116,15 @@ class AsyncCheckpointManager:
         return path
 
     def _rotate(self, keep: int) -> None:
-        for old in list_checkpoints(self.output_dir)[:-keep]:
-            shutil.rmtree(os.path.join(self.output_dir, old),
-                          ignore_errors=True)
+        """Keep the newest ``keep`` FINALIZED checkpoints; also sweep any
+        unfinalized crash leftovers (safe here: callers rotate only after
+        ``wait_until_finished``, so nothing is in flight)."""
+        finalized = list_checkpoints(self.output_dir, finalized_only=True)
+        retain = set(finalized[-keep:]) if keep else set()
+        for old in list_checkpoints(self.output_dir):
+            if old not in retain:
+                shutil.rmtree(os.path.join(self.output_dir, old),
+                              ignore_errors=True)
 
     def wait(self) -> None:
         if self._export_thread is not None:
@@ -128,15 +140,26 @@ class AsyncCheckpointManager:
         self._ckptr.close()
 
 
-def list_checkpoints(output_dir: str):
+def list_checkpoints(output_dir: str, finalized_only: bool = False):
     if not os.path.isdir(output_dir):
         return []
     dirs = [d for d in os.listdir(output_dir) if re.fullmatch(r"checkpoint-\d+", d)]
+    if finalized_only:
+        dirs = [d for d in dirs if _is_finalized(output_dir, d)]
     return sorted(dirs, key=lambda d: int(d.split("-")[1]))
 
 
+def _is_finalized(output_dir: str, name: str) -> bool:
+    """A checkpoint is restorable only once orbax has renamed its tmp dir to
+    ``state``.  A kill during an async save leaves ``state.orbax-checkpoint-tmp``
+    behind; treating that directory as a checkpoint breaks resume (it would be
+    picked as 'latest' and fail to restore) and can make rotation discard the
+    real newest finalized state in favor of garbage."""
+    return os.path.isdir(os.path.join(output_dir, name, "state"))
+
+
 def latest_checkpoint(output_dir: str) -> Optional[str]:
-    ckpts = list_checkpoints(output_dir)
+    ckpts = list_checkpoints(output_dir, finalized_only=True)
     return os.path.join(output_dir, ckpts[-1]) if ckpts else None
 
 

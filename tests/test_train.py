@@ -279,6 +279,36 @@ def test_rotation_never_deletes_the_only_finalized_checkpoint(tmp_path, cfg,
     assert list_checkpoints(out) == ["checkpoint-2"]
 
 
+def test_crash_leftover_checkpoint_is_not_latest(tmp_path, cfg, params):
+    """A kill during an async save leaves checkpoint-N with only
+    ``state.orbax-checkpoint-tmp``.  latest/resolve_resume must skip it,
+    rotation must sweep it without counting it toward the keep budget, and
+    a re-save at the same step must succeed (observed in the round-3
+    convergence chain restart)."""
+    from diffute_tpu.train.checkpoint import (AsyncCheckpointManager,
+                                              list_checkpoints)
+
+    trainer = VAETrainer(cfg, params["vae"], total_steps=10)
+    out = str(tmp_path / "ckpts")
+    mgr = AsyncCheckpointManager(out, total_limit=1)
+    mgr.save(1, trainer.state)
+    mgr.wait()
+    # simulate a crash mid-save at step 2: tmp dir only, no finalized state
+    crash = os.path.join(out, "checkpoint-2", "state.orbax-checkpoint-tmp")
+    os.makedirs(crash)
+    assert latest_checkpoint(out).endswith("checkpoint-1")
+    assert resolve_resume(out, "latest").endswith("checkpoint-1")
+    assert list_checkpoints(out, finalized_only=True) == ["checkpoint-1"]
+    # a fresh save at the SAME step replaces the garbage...
+    mgr.save(2, trainer.state)
+    mgr.close()
+    # ...and rotation kept the newest finalized checkpoint, not the leftover
+    assert list_checkpoints(out) == ["checkpoint-2"]
+    assert latest_checkpoint(out).endswith("checkpoint-2")
+    restored = restore_checkpoint(latest_checkpoint(out), trainer.state)
+    assert int(restored.step) == 0  # same state saved twice in this test
+
+
 def test_multi_step_scan_matches_sequential(cfg, params):
     """steps_per_call=K in one lax.scan executable must produce the same
     final params as K sequential step() calls with the same batches/keys."""
