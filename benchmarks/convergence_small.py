@@ -72,6 +72,11 @@ def main():
     p.add_argument("--eval_steps", type=int, default=50)
     p.add_argument("--eval_examples", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--unet_checkpointing_steps", type=int, default=1000,
+                   help="stage-2 save stride; the tunneled chip is shared "
+                        "and a tenant's job can OOM ours at any time, so "
+                        "save often — the chain resumes from the newest "
+                        "finalized checkpoint on relaunch")
     p.add_argument("--steps_per_call", type=int, default=8,
                    help="lax.scan stride forwarded to every trainer; >1 "
                         "amortizes the relay's per-call boundary cost "
@@ -128,7 +133,7 @@ def main():
                  "--max_train_steps", str(args.unet_steps),
                  "--train_batch_size", str(args.unet_batch),
                  "--learning_rate", str(args.unet_lr),
-                 "--checkpointing_steps", "2000",
+                 "--checkpointing_steps", str(args.unet_checkpointing_steps),
                  "--checkpoints_total_limit", "2", "--report_to", "none",
                  "--seed", str(args.seed), "--output_dir", unet_dir] + spc + resume(unet_dir),
            os.path.join(out, "unet.log"))
