@@ -212,9 +212,23 @@ if __name__ == "__main__":
     try:
         sys.exit(main())
     except Exception as e:  # never leave the driver without a JSON line
+        msg = f"{type(e).__name__}: {e}"
+        # The tunneled chip is shared: another tenant's job can transiently
+        # OOM ours (observed 2026-08-17 — repeated RESOURCE_EXHAUSTED windows
+        # that cleared on their own).  Re-exec in a fresh process after a
+        # pause instead of recording 0.0 for the round; a poisoned JAX client
+        # can't be reused in-process.
+        retries = int(os.environ.get("DIFFUTE_BENCH_RETRY", "0"))
+        if "RESOURCE_EXHAUSTED" in msg.replace(" ", "_").upper() and retries < 2:
+            print(f"# transient device OOM ({msg}); retry {retries + 1} "
+                  f"in 150s", file=sys.stderr)
+            time.sleep(150)
+            env = dict(os.environ, DIFFUTE_BENCH_RETRY=str(retries + 1))
+            sys.exit(subprocess.run([sys.executable] + sys.argv,
+                                    env=env).returncode)
         print(json.dumps({
             "metric": "images/sec/chip (edit)", "value": 0.0,
             "unit": "images/sec/chip", "vs_baseline": 0.0,
-            "error": f"{type(e).__name__}: {e}",
+            "error": msg,
         }))
         sys.exit(0)
