@@ -128,7 +128,15 @@ def main():
                         os.path.join(pre, "vae"))
         shutil.copytree(os.path.join(latest_checkpoint(ocr_dir), "trocr"),
                         os.path.join(pre, "trocr"))
+        # --gradient_checkpointing is required headroom, not an option: the
+        # compiled 64-step scan WITHOUT remat peaks at ~15.4 GB (measured
+        # memory_analysis: 2.95 args + 0.86 out + 11.55 temp) and the
+        # prefetcher's next 2.36 GB batch overlaps execution, so the v5e's
+        # 16 GB OOMs whenever the transfer lands mid-step (observed: a run
+        # died at step 2048 after 32 lucky calls).  With remat: 6.18 GB temp,
+        # ~12 GB peak including prefetch.
         sh(py + ["diffute_tpu.train.run_unet", "--model_scale", "small",
+                 "--gradient_checkpointing",
                  "--pretrained", pre,
                  "--max_train_steps", str(args.unet_steps),
                  "--train_batch_size", str(args.unet_batch),
