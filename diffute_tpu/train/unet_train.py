@@ -37,6 +37,7 @@ from diffute_tpu.parallel import make_mesh, shard_batch
 from diffute_tpu.text import trocr_normalize
 from diffute_tpu.train.optim import build_optimizer
 from diffute_tpu.train.state import TrainState
+from diffute_tpu.utils.images import device_to_unit_range
 
 
 def _cast(tree, dtype):
@@ -63,10 +64,14 @@ def make_unet_train_step(
     """Build the jit-able train step.
 
     Batch layout (all device arrays, leading dim = global batch):
-      pixel_values  (B, R, R, 3) float32 in [-1, 1]
-      masks         (B, R, R)    float32 {0, 1}
-      masked_images (B, R, R, 3) float32 in [-1, 1]
+      pixel_values  (B, R, R, 3) uint8 raw pixels (or float32 in [-1, 1])
+      masks         (B, R, R)    uint8 {0, 1} (or float32)
+      masked_images (B, R, R, 3) uint8 (or float32 in [-1, 1])
       glyph_pixels  (B, 384, 384, 3) uint8
+
+    uint8 batches are the product layout (4x fewer host->device bytes and
+    staged-input HBM; normalization happens here on device, within 1 ulp
+    of the old host f32 path); float batches still work.
 
     With gradient_accumulation_steps > 1 the caller passes
     (accum, micro, ...) leading dims instead and the step scans.
@@ -102,8 +107,8 @@ def make_unet_train_step(
         v_params = _cast(frozen["vae"], compute_dtype) if bf16 else frozen["vae"]
         t_params = _cast(frozen["trocr"], compute_dtype) if bf16 else frozen["trocr"]
 
-        pixels = micro["pixel_values"].astype(compute_dtype)
-        masked = micro["masked_images"].astype(compute_dtype)
+        pixels = device_to_unit_range(micro["pixel_values"], compute_dtype)
+        masked = device_to_unit_range(micro["masked_images"], compute_dtype)
         glyphs = trocr_normalize(micro["glyph_pixels"]).astype(compute_dtype)
 
         ctx = trocr.apply({"params": t_params}, glyphs)

@@ -22,11 +22,14 @@ import optax
 
 from diffute_tpu.train.optim import build_optimizer
 from diffute_tpu.train.state import TrainState
+from diffute_tpu.utils.images import device_to_unit_range
 
 
 def make_vae_train_step(config: DiffUTEConfig, tx) -> Callable:
-    """Batch layout: pixel_values (B, R, R, 3) float32 in [-1, 1]; with
-    gradient_accumulation_steps > 1, (accum, micro, R, R, 3)."""
+    """Batch layout: pixel_values (B, R, R, 3) uint8 raw pixels (the product
+    layout — normalized on device, see utils.images.device_to_unit_range) or
+    float32 in [-1, 1]; with gradient_accumulation_steps > 1,
+    (accum, micro, R, R, 3)."""
     bf16 = config.train.mixed_precision == "bf16"
     accum = config.train.gradient_accumulation_steps
     if bf16:
@@ -40,7 +43,7 @@ def make_vae_train_step(config: DiffUTEConfig, tx) -> Callable:
     def loss_fn(params, micro, rng):
         dtype = jnp.bfloat16 if bf16 else jnp.float32
         p = jax.tree_util.tree_map(lambda x: x.astype(dtype), params) if bf16 else params
-        pixels = micro["pixel_values"].astype(dtype)
+        pixels = device_to_unit_range(micro["pixel_values"], dtype)
         recon = vae.apply({"params": p}, pixels, rng)
         return jnp.mean((recon.astype(jnp.float32)
                          - pixels.astype(jnp.float32)) ** 2)

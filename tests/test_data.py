@@ -58,10 +58,11 @@ def test_unet_manifest_dataset(cfg, manifest):
     ex = ds[0]
     res = cfg.edit.resolution
     assert ex["pixel_values"].shape == (res, res, 3)
-    assert ex["pixel_values"].min() >= -1 and ex["pixel_values"].max() <= 1
+    assert ex["pixel_values"].dtype == np.uint8  # compact batch layout
     assert ex["masks"].shape == (res, res)
-    assert set(np.unique(ex["masks"])) <= {0.0, 1.0}
+    assert set(np.unique(ex["masks"])) <= {0, 1}
     assert ex["masked_images"].shape == (res, res, 3)
+    assert ex["masked_images"].dtype == np.uint8
     assert ex["glyph_image"].ndim == 3  # (60, (len+2)*40, 3)
     # low-score region never selected: glyph text is "word0" (5 chars)
     assert ex["glyph_image"].shape[1] == (5 + 2) * cfg.glyph.font_size
