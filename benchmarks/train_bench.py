@@ -67,10 +67,12 @@ def main():
     del params  # free the original f32 trees (~5 GB); trainer holds copies
     rng = np.random.RandomState(0)
     B, res, g = args.batch, args.res, cfg.trocr.image_size
+    # compact uint8 layout — what the product datasets ship since the
+    # on-device-normalize change (io/dataset.py)
     batch = {
-        "pixel_values": rng.randn(B, res, res, 3).astype(np.float32).clip(-1, 1),
-        "masks": (rng.rand(B, res, res) > 0.9).astype(np.float32),
-        "masked_images": rng.randn(B, res, res, 3).astype(np.float32).clip(-1, 1),
+        "pixel_values": rng.randint(0, 256, (B, res, res, 3), dtype=np.uint8),
+        "masks": (rng.rand(B, res, res) > 0.9).astype(np.uint8),
+        "masked_images": rng.randint(0, 256, (B, res, res, 3), dtype=np.uint8),
         "glyph_pixels": rng.randint(0, 255, (B, g, g, 3), dtype=np.uint8),
     }
     # pre-place the batch like parallel.DevicePrefetcher delivers it in the
