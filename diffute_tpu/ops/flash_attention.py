@@ -45,6 +45,28 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# Default forward/backward block sizes by query length, measured with
+# benchmarks/attn_bench.py on the v5e (BASELINE.md kernel table); callers
+# can always override explicitly.  At long T the forward re-streams K/V once
+# per q-block (HBM traffic ~ n_q*T*D bytes), so a larger block_q wins until
+# the f32 (block_q, block_kv) score tile pressures VMEM.
+_TUNED_BLOCKS = (
+    # (min_query_tokens, block_q, block_kv) — ascending by min_query_tokens
+    (0, 256, 512),
+)
+
+
+def _resolve_blocks(s_len: int, block_q, block_kv):
+    """Fill None block sizes from the tuned table (largest matching row)."""
+    if block_q is None or block_kv is None:
+        for min_t, bq, bkv in reversed(_TUNED_BLOCKS):
+            if s_len >= min_t:
+                block_q = bq if block_q is None else block_q
+                block_kv = bkv if block_kv is None else block_kv
+                break
+    return block_q, block_kv
+
+
 def _pick_blocks(s_len: int, kv_len: int, block_q: int, block_kv: int):
     block_q = min(block_q, _round_up(s_len, 128))
     if kv_len <= 1024:
@@ -317,10 +339,14 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_kv: int = 512,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
 ) -> jax.Array:
-    """Flash attention over (batch, seq, heads, head_dim) tensors."""
+    """Flash attention over (batch, seq, heads, head_dim) tensors.
+
+    ``block_q``/``block_kv`` default to the measured per-regime table
+    (``_TUNED_BLOCKS``); pass explicit sizes to override (the sweep in
+    benchmarks/attn_bench.py does)."""
     out, _ = _flash_fwd_rule(q, k, v, scale, block_q, block_kv)
     return out
 
@@ -328,6 +354,7 @@ def flash_attention(
 def _flash_fwd_rule(q, k, v, scale, block_q, block_kv):
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    block_q, block_kv = _resolve_blocks(q.shape[1], block_q, block_kv)
     b, _, h, _ = q.shape
     o3, lse = _flash_fwd_3d(_to3d(q), _to3d(k), _to3d(v), scale,
                             block_q, block_kv)
@@ -338,6 +365,7 @@ def _flash_bwd_rule(scale, block_q, block_kv, res, g):
     q, k, v, o3, lse = res
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    block_q, block_kv = _resolve_blocks(q.shape[1], block_q, block_kv)
     b, _, h, _ = q.shape
     dq3, dk3, dv3 = _flash_bwd_3d(
         _to3d(q), _to3d(k), _to3d(v), o3, lse, _to3d(g), scale,
