@@ -72,6 +72,13 @@ def main():
     p.add_argument("--eval_steps", type=int, default=50)
     p.add_argument("--eval_examples", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--unet_segment_steps", type=int, default=3000,
+                   help="relaunch the stage-2 trainer in a fresh process "
+                        "every N steps: the axon relay client leaks a host "
+                        "staging copy of every h2d transfer (~batch bytes "
+                        "per step), so a long single-process run grows to "
+                        "host-OOM — observed 129 GB RSS at step ~3650 with "
+                        "f32 batches; segments bound it")
     p.add_argument("--unet_checkpointing_steps", type=int, default=1000,
                    help="stage-2 save stride; the tunneled chip is shared "
                         "and a tenant's job can OOM ours at any time, so "
@@ -135,16 +142,21 @@ def main():
         # 16 GB OOMs whenever the transfer lands mid-step (observed: a run
         # died at step 2048 after 32 lucky calls).  With remat: 6.18 GB temp,
         # ~12 GB peak including prefetch.
-        sh(py + ["diffute_tpu.train.run_unet", "--model_scale", "small",
-                 "--gradient_checkpointing",
-                 "--pretrained", pre,
-                 "--max_train_steps", str(args.unet_steps),
-                 "--train_batch_size", str(args.unet_batch),
-                 "--learning_rate", str(args.unet_lr),
-                 "--checkpointing_steps", str(args.unet_checkpointing_steps),
-                 "--checkpoints_total_limit", "2", "--report_to", "none",
-                 "--seed", str(args.seed), "--output_dir", unet_dir] + spc + resume(unet_dir),
-           os.path.join(out, "unet.log"))
+        seg = max(1, args.unet_segment_steps)
+        targets = list(range(seg, args.unet_steps, seg)) + [args.unet_steps]
+        for target in targets:
+            # a segment whose work is already checkpointed exits immediately
+            sh(py + ["diffute_tpu.train.run_unet", "--model_scale", "small",
+                     "--gradient_checkpointing",
+                     "--pretrained", pre,
+                     "--max_train_steps", str(target),
+                     "--train_batch_size", str(args.unet_batch),
+                     "--learning_rate", str(args.unet_lr),
+                     "--checkpointing_steps", str(args.unet_checkpointing_steps),
+                     "--checkpoints_total_limit", "2", "--report_to", "none",
+                     "--seed", str(args.seed), "--output_dir", unet_dir]
+               + spc + resume(unet_dir),
+               os.path.join(out, "unet.log"))
 
     if "eval" not in skip:
         # the final stage-2 checkpoint is a self-contained pipeline dir
