@@ -80,18 +80,29 @@ def _kernel(x_ref, scale_ref, bias_ref, cg_ref, gc_ref, w_ref, b_ref, o_ref,
 
     jax.lax.fori_loop(0, n_chunks, norm_body, 0)
 
-    # 3x3 conv = 9 shifted matmuls on the MXU.
+    # 3x3 conv = 9 shifted matmuls on the MXU, accumulated per row chunk:
+    # a full-slab (H*W, CoT) fp32 accumulator plus its tap temporaries
+    # overflows the 16 MB scoped-vmem stack at 64x64x320 (measured 17.4 MB),
+    # so output rows [i*rh, i*rh+rh) are produced from pad rows
+    # [i*rh+dy, i*rh+rh+dy) and written as they complete.
     cot = o_ref.shape[3]
-    acc = jnp.zeros((H * W, cot), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            tap = pad_ref[pl.ds(dy, H), pl.ds(dx, W), :].reshape(H * W, C)
-            wt = w_ref[pl.ds((dy * 3 + dx) * C, C), :]
-            acc = acc + jax.lax.dot_general(
-                tap, wt, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-    acc = acc + b_ref[0].astype(jnp.float32)[None, :]
-    o_ref[0] = acc.reshape(H, W, cot).astype(o_ref.dtype)
+    bias = b_ref[0].astype(jnp.float32)[None, :]
+
+    def conv_body(i, _):
+        acc = jnp.zeros((rh * W, cot), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = pad_ref[pl.ds(i * rh + dy, rh),
+                              pl.ds(dx, W), :].reshape(rh * W, C)
+                wt = w_ref[pl.ds((dy * 3 + dx) * C, C), :]
+                acc = acc + jax.lax.dot_general(
+                    tap, wt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        o_ref[0, pl.ds(i * rh, rh), :, :] = (
+            (acc + bias).reshape(rh, W, cot).astype(o_ref.dtype))
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, conv_body, 0)
 
 
 def _xla_ref(x, gn_scale, gn_bias, w, b, groups, eps):
