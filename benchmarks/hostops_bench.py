@@ -57,6 +57,15 @@ def main() -> None:
             lambda: hostops.masked_fill(src, mask)), 3),
         "dispatch": hostops.backend_report(),
     }
+    ok, enc = cv2.imencode(".jpg", src, [cv2.IMWRITE_JPEG_QUALITY, 85])
+    assert ok
+    jpg = enc.tobytes()
+    buf = np.frombuffer(jpg, np.uint8)
+    report["jpeg_decode_cv2_ms"] = round(timeit(
+        lambda: cv2.imdecode(buf, flags=1), iters=50), 3)
+    if hostops.decode_jpeg(jpg, bgr=True) is not None:
+        report["jpeg_decode_native_ms"] = round(timeit(
+            lambda: hostops.decode_jpeg(jpg, bgr=True), iters=50), 3)
     print(json.dumps(report, indent=2))
 
 

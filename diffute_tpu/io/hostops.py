@@ -12,6 +12,10 @@ machine):
   crop_resize_normalize   3.7 ms   3.7 ms      native (time parity; saves the
                                                intermediate u8 allocation)
   masked_fill             0.6 ms   8.6 ms      native (14x)
+  decode_jpeg             (libjpeg-turbo, the same codec cv2 bundles:
+                          bit-identical output, time parity; native is the
+                          product default so cv2 is a soft dependency of the
+                          blob-decode path — io/storage.decode_image)
 
 The native library (native/hostops.cpp, built lazily with the in-image
 toolchain) replicates cv2's INTER_LINEAR fixed-point arithmetic: output is
@@ -58,15 +62,25 @@ def _load() -> Optional[ctypes.CDLL]:
         try:
             if (not os.path.exists(so)
                     or os.path.getmtime(so) < os.path.getmtime(src)):
+                base = ["-O3", "-march=native", "-shared", "-fPIC", src,
+                        "-o", so]
+                # JPEG decode needs libjpeg(-turbo) headers+lib; build
+                # without it where absent (the symbols are #ifdef-gated).
+                variants = [base[:5] + ["-DHOSTOPS_HAVE_JPEG"] + base[5:]
+                            + ["-ljpeg"], base]
                 for cc in ("c++", "g++", "cc"):
-                    try:
-                        subprocess.run(
-                            [cc, "-O3", "-march=native", "-shared", "-fPIC",
-                             src, "-o", so],
-                            check=True, capture_output=True)
+                    done = False
+                    for flags in variants:
+                        try:
+                            subprocess.run([cc] + flags, check=True,
+                                           capture_output=True)
+                            done = True
+                            break
+                        except (FileNotFoundError,
+                                subprocess.CalledProcessError):
+                            continue
+                    if done:
                         break
-                    except (FileNotFoundError, subprocess.CalledProcessError):
-                        continue
                 else:
                     return None
             lib = ctypes.CDLL(so)
@@ -76,6 +90,11 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.resize_bilinear_u8.argtypes = [u8p, i, i, i, u8p, i, i]
             lib.crop_resize_normalize_f32.argtypes = [u8p, i, i, i, f32p, i, i]
             lib.masked_fill_u8.argtypes = [u8p, u8p, i, i, i, u8p]
+            if hasattr(lib, "jpeg_decode_u8"):  # -DHOSTOPS_HAVE_JPEG build
+                ul, ip = ctypes.c_ulong, ctypes.POINTER(ctypes.c_int)
+                cp = ctypes.c_char_p
+                lib.jpeg_probe_u8.argtypes = [cp, ul, ip, ip]
+                lib.jpeg_decode_u8.argtypes = [cp, ul, u8p, i, i, i]
             _lib = lib
         except OSError:
             _lib = None
@@ -89,6 +108,7 @@ def available() -> bool:
 def backend_report() -> dict:
     """Which backend each product op resolves to (for tests/benchmarks)."""
     native = available()
+    jpeg = native and hasattr(_lib, "jpeg_decode_u8")
     return {
         "native_lib": native,
         "resize_bilinear_u8": "cv2" if cv2 is not None else (
@@ -96,6 +116,8 @@ def backend_report() -> dict:
         "crop_resize_normalize": "native" if native else (
             "cv2" if cv2 is not None else "unavailable"),
         "masked_fill": "native" if native else "numpy",
+        "jpeg_decode": "native" if jpeg else (
+            "cv2" if cv2 is not None else "unavailable"),
     }
 
 
@@ -146,6 +168,28 @@ def crop_resize_normalize(src: np.ndarray, dh: int, dw: int) -> np.ndarray:
         return (r.astype(np.float32) / 255.0 - 0.5) / 0.5
     out = np.empty((dh, dw, c), np.float32)
     lib.crop_resize_normalize_f32(src, sh, sw, c, out, dh, dw)
+    return out
+
+
+def decode_jpeg(data: bytes, bgr: bool = False) -> Optional[np.ndarray]:
+    """Native JPEG blob -> uint8 HWC (RGB; ``bgr=True`` gives cv2's order).
+
+    Returns ``None`` when the native library lacks JPEG support or the blob
+    isn't a JPEG it handles (CMYK, corrupt header, ...) — callers fall back
+    to cv2/PIL (``io/storage.read_image``).  Uses the same system
+    libjpeg-turbo cv2 bundles, so output is bit-identical to
+    ``cv2.imdecode(flags=1)`` (pinned by tests/test_hostops.py).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "jpeg_decode_u8"):
+        return None
+    h, w = ctypes.c_int(), ctypes.c_int()
+    if lib.jpeg_probe_u8(data, len(data), ctypes.byref(h), ctypes.byref(w)):
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    if lib.jpeg_decode_u8(data, len(data), out, h.value, w.value,
+                          1 if bgr else 0):
+        return None
     return out
 
 

@@ -7,14 +7,26 @@ feeds RGB; SURVEY.md §1 L1).  Here the storage is a scheme-dispatched opener
 (local paths out of the box; gs:// etc. can be registered) and decode
 defaults to RGB, with ``bgr=True`` available for bit-faithful reproduction of
 the reference training colour order.
+
+JPEG blobs decode through the first-party native path
+(``io/hostops.decode_jpeg``, libjpeg-turbo — the same codec cv2 bundles, so
+output is bit-identical to ``cv2.imdecode``); cv2 is only needed for
+non-JPEG formats (PNG, ...) and exotic JPEGs (CMYK), making it a soft
+dependency of this module.
 """
 
 from __future__ import annotations
 
 from typing import BinaryIO, Callable, Dict
 
-import cv2
 import numpy as np
+
+from diffute_tpu.io import hostops
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover - cv2 is present in the build image
+    cv2 = None
 
 _OPENERS: Dict[str, Callable[[str], BinaryIO]] = {}
 
@@ -39,12 +51,28 @@ def open_blob(path: str) -> BinaryIO:
     return open(path, "rb")
 
 
-def read_image(path: str, bgr: bool = False) -> np.ndarray:
+def decode_image(data: bytes, bgr: bool = False) -> np.ndarray:
     """Decode an image blob -> uint8 HWC.  RGB by default; ``bgr=True``
     reproduces the reference's cv2.imdecode(flags=1) order."""
-    with open_blob(path) as f:
-        buf = np.frombuffer(f.read(), dtype=np.uint8)
-    img = cv2.imdecode(buf, flags=1)
+    if data[:3] == b"\xff\xd8\xff":  # JPEG magic: native decode first
+        img = hostops.decode_jpeg(data, bgr=bgr)
+        if img is not None:
+            return img
+    if cv2 is None:
+        raise ValueError(
+            "Cannot decode blob: not a native-decodable JPEG and cv2 is "
+            "not installed")
+    img = cv2.imdecode(np.frombuffer(data, dtype=np.uint8), flags=1)
     if img is None:
-        raise ValueError(f"Failed to decode image: {path}")
+        raise ValueError("Failed to decode image blob")
     return img if bgr else cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def read_image(path: str, bgr: bool = False) -> np.ndarray:
+    """:func:`decode_image` over :func:`open_blob`."""
+    with open_blob(path) as f:
+        data = f.read()
+    try:
+        return decode_image(data, bgr=bgr)
+    except ValueError as e:
+        raise ValueError(f"{e}: {path}") from None

@@ -17,8 +17,20 @@
 //       is BIT-IDENTICAL to resize-then-normalize — the fusion saves the
 //       intermediate allocation and second memory pass, not precision.
 //   masked_fill_u8: image * (mask < 0.5) (reference train_diffute_v1.py:385-388)
+//   jpeg_probe_u8 / jpeg_decode_u8: JPEG blob -> uint8 HWC via the system
+//       libjpeg-turbo (the same codec cv2.imdecode uses, reference
+//       train_diffute_v1.py:390-396), with cv2's channel-order semantics
+//       (RGB or JCS_EXT_BGR) and gray->RGB promotion.  Compiled only when
+//       HOSTOPS_HAVE_JPEG is defined (the loader links -ljpeg then); the
+//       Python side falls back to cv2 when the symbols are absent or a
+//       blob is not a decodable 1/3-component JPEG (e.g. CMYK).
+//       Glyph rasterization stays on PIL/FreeType: this image ships
+//       libfreetype.so but no FreeType headers, and hand-declaring its
+//       struct layouts would be version-fragile for zero hot-path gain
+//       (renders are LRU-cached in text/glyph.py).
 //
 // Build: cc -O3 -march=native -shared -fPIC hostops.cpp -o libhostops.so
+//        [-DHOSTOPS_HAVE_JPEG -ljpeg]
 // Loaded via ctypes (diffute_tpu/io/hostops.py); numpy/cv2 fallback when the
 // shared object is absent.  Portability caveats: (a) the .so is built with
 // -march=native and cached by source mtime only — moving a prebuilt .so to
@@ -212,3 +224,107 @@ void masked_fill_u8(const uint8_t* src, const uint8_t* mask, int h, int w,
 }
 
 }  // extern "C"
+
+#ifdef HOSTOPS_HAVE_JPEG
+
+#include <csetjmp>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+namespace {
+
+// libjpeg's default error handler exit()s the process; route fatal errors
+// through longjmp so a corrupt blob returns an error code instead of
+// killing the trainer (the data loader substitutes another example,
+// io/dataset.py "substitute-on-decode-error").
+struct JpegErrorJump {
+  jpeg_error_mgr mgr;
+  jmp_buf jump;
+};
+
+void jpeg_error_exit_longjmp(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErrorJump*>(cinfo->err)->jump, 1);
+}
+
+void jpeg_emit_nothing(j_common_ptr, int) {}
+
+bool jpeg_setup(jpeg_decompress_struct* cinfo, JpegErrorJump* err,
+                const unsigned char* buf, unsigned long len) {
+  cinfo->err = jpeg_std_error(&err->mgr);
+  err->mgr.error_exit = jpeg_error_exit_longjmp;
+  err->mgr.emit_message = jpeg_emit_nothing;  // no stderr warning spam
+  jpeg_create_decompress(cinfo);
+  jpeg_mem_src(cinfo, buf, len);
+  return jpeg_read_header(cinfo, TRUE) == JPEG_HEADER_OK;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse the header only: fills (h, w); returns 0 on success, 1 if the blob
+// is not a JPEG this decoder handles (callers fall back to cv2/PIL).
+int jpeg_probe_u8(const unsigned char* buf, unsigned long len,
+                  int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorJump err;
+  if (setjmp(err.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  if (!jpeg_setup(&cinfo, &err, buf, len)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  // Only grayscale/YCbCr/RGB sources convert to RGB in libjpeg; CMYK/YCCK
+  // (rare scanner output) must take the cv2/PIL path.
+  const bool ok = cinfo.jpeg_color_space == JCS_GRAYSCALE ||
+                  cinfo.jpeg_color_space == JCS_YCbCr ||
+                  cinfo.jpeg_color_space == JCS_RGB;
+  *h = static_cast<int>(cinfo.image_height);
+  *w = static_cast<int>(cinfo.image_width);
+  jpeg_destroy_decompress(&cinfo);
+  return ok ? 0 : 1;
+}
+
+// Full decode into caller-allocated out (h*w*3 bytes, HWC).  bgr != 0 emits
+// cv2.imdecode(flags=1) channel order (JCS_EXT_BGR); otherwise RGB.
+// Returns 0 on success, 1 on any decode error (out contents undefined).
+int jpeg_decode_u8(const unsigned char* buf, unsigned long len,
+                   unsigned char* out, int expected_h, int expected_w,
+                   int bgr) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorJump err;
+  if (setjmp(err.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  if (!jpeg_setup(&cinfo, &err, buf, len)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  cinfo.out_color_space = bgr ? JCS_EXT_BGR : JCS_RGB;
+  if (!jpeg_start_decompress(&cinfo) ||
+      static_cast<int>(cinfo.output_height) != expected_h ||
+      static_cast<int>(cinfo.output_width) != expected_w ||
+      cinfo.output_components != 3) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  const size_t stride = static_cast<size_t>(expected_w) * 3;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out + cinfo.output_scanline * stride;
+    if (jpeg_read_scanlines(&cinfo, &row, 1) != 1) {
+      jpeg_destroy_decompress(&cinfo);
+      return 1;
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+}  // extern "C"
+
+#endif  // HOSTOPS_HAVE_JPEG

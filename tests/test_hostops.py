@@ -114,3 +114,71 @@ def test_make_masked_image_routes_native():
     out_u8 = make_masked_image(img, mask)
     out_np = img.astype(np.int32) * (mask < 0.5)[..., None]
     np.testing.assert_array_equal(out_u8.astype(np.int32), out_np)
+
+
+# --- native JPEG decode (io/hostops.decode_jpeg, io/storage.decode_image) ---
+
+
+def _jpeg_bytes(arr_bgr, quality=85):
+    ok, enc = cv2.imencode(".jpg", arr_bgr,
+                           [cv2.IMWRITE_JPEG_QUALITY, quality])
+    assert ok
+    return enc.tobytes()
+
+
+@pytest.mark.parametrize("quality", [60, 95])
+def test_decode_jpeg_bitexact_vs_cv2(quality):
+    """Native decode uses the same libjpeg-turbo cv2 bundles: identical
+    pixels in both channel orders."""
+    if hostops.backend_report()["jpeg_decode"] != "native":
+        pytest.skip("built without libjpeg")
+    rng = np.random.RandomState(quality)
+    src = rng.randint(0, 255, (123, 211, 3), np.uint8)
+    data = _jpeg_bytes(src, quality)
+    ref_bgr = cv2.imdecode(np.frombuffer(data, np.uint8), flags=1)
+    np.testing.assert_array_equal(hostops.decode_jpeg(data, bgr=True),
+                                  ref_bgr)
+    np.testing.assert_array_equal(
+        hostops.decode_jpeg(data),
+        cv2.cvtColor(ref_bgr, cv2.COLOR_BGR2RGB))
+
+
+def test_decode_jpeg_grayscale_promotes_to_3ch():
+    if hostops.backend_report()["jpeg_decode"] != "native":
+        pytest.skip("built without libjpeg")
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 255, (64, 80), np.uint8)
+    data = _jpeg_bytes(gray)
+    out = hostops.decode_jpeg(data)
+    ref = cv2.imdecode(np.frombuffer(data, np.uint8), flags=1)  # gray->BGR
+    np.testing.assert_array_equal(out, ref)  # replicated channels: order moot
+
+
+def test_decode_jpeg_rejects_garbage_and_png():
+    assert hostops.decode_jpeg(b"\xff\xd8\xff\x00not a real jpeg") is None
+    assert hostops.decode_jpeg(b"\x89PNG\r\n\x1a\n") is None
+
+
+def test_storage_decode_image_routes_native_jpeg(tmp_path):
+    """decode_image must produce cv2-identical output for JPEG blobs and
+    still handle non-JPEG formats through cv2."""
+    from diffute_tpu.io import storage
+
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 255, (90, 120, 3), np.uint8)
+    data = _jpeg_bytes(src)
+    ref_bgr = cv2.imdecode(np.frombuffer(data, np.uint8), flags=1)
+    np.testing.assert_array_equal(storage.decode_image(data, bgr=True),
+                                  ref_bgr)
+    np.testing.assert_array_equal(storage.decode_image(data),
+                                  cv2.cvtColor(ref_bgr, cv2.COLOR_BGR2RGB))
+    # PNG goes through cv2 (lossless: decodes back to src exactly)
+    ok, png = cv2.imencode(".png", src)
+    assert ok
+    np.testing.assert_array_equal(
+        storage.decode_image(png.tobytes(), bgr=True), src)
+    # read_image end-to-end over a file path
+    p = tmp_path / "img.jpg"
+    p.write_bytes(data)
+    np.testing.assert_array_equal(storage.read_image(str(p), bgr=True),
+                                  ref_bgr)
