@@ -7,6 +7,17 @@
 set -x
 cd /root/repo
 
+echo '=== encoder-reuse QUALITY ablation on the trained checkpoint (VERDICT weak 4) ==='
+CK=runs/convergence/unet/checkpoint-12032
+if [ -d "$CK" ]; then
+  for R in 2 3; do
+    timeout 1800 python -m diffute_tpu.eval.run --model_scale small \
+      --pretrained "$CK" --tokenizer char --synthetic 16 --max_examples 16 \
+      --steps 50 --seed 0 --reuse $R \
+      --out runs/convergence/report_trained_reuse$R.json
+  done
+fi
+
 echo '=== headline, iters=12 (VERDICT weak 1: recover >=1.43 or attribute) ==='
 timeout 2400 python bench.py --iters 12
 

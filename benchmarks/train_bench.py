@@ -127,6 +127,13 @@ def main():
         ca = low.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
+        if not ca or "flops" not in ca:
+            # the axon client's Lowered.cost_analysis() returns None; the
+            # compiled executable's analysis works (and hits the compile
+            # cache — the timing loop above already built this executable)
+            ca = low.compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
         step_flops = float(ca["flops"]) / per_call_steps
         out["hlo_tflops_per_step"] = round(step_flops / 1e12, 2)
         out["mfu"] = round(step_flops / dt / 197e12, 4)
