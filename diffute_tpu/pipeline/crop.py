@@ -163,16 +163,23 @@ def paste_back(
     box: np.ndarray,
 ) -> np.ndarray:
     """Resize the edited 512^2 crop back into the window; paste ONLY the bbox
-    pixels into the original (app.ipynb:827-840)."""
+    pixels into the original (app.ipynb:827-840).
+
+    The reference materializes two full-image float copies and rounds the
+    whole frame; only bbox ∩ window pixels can change (round-trip through
+    f32+round is the identity elsewhere), so this computes exactly that
+    intersection — O(bbox) host work instead of O(image)."""
     h, w = original.shape[:2]
     r_h = h - y_s if y_s + crop_scale > h else crop_scale
     r_w = w - x_s if x_s + crop_scale > w else crop_scale
 
     x1, y1, x2, y2 = (int(v) for v in box)
-    mid = np.array(original, dtype=np.float32, copy=True)
-    mid[y_s : y_s + crop_scale, x_s : x_s + crop_scale] = cv2.resize(
-        edited_crop.astype(np.float32), (r_w, r_h)
-    )
-    result = np.array(original, dtype=np.float32, copy=True)
-    result[y1:y2, x1:x2] = mid[y1:y2, x1:x2]
-    return np.clip(np.round(result), 0, 255).astype(np.uint8)
+    result = original.astype(np.uint8, copy=True)
+    ry1, ry2 = max(y1, y_s), min(y2, y_s + r_h)
+    rx1, rx2 = max(x1, x_s), min(x2, x_s + r_w)
+    if ry2 > ry1 and rx2 > rx1:
+        resized = cv2.resize(edited_crop.astype(np.float32), (r_w, r_h))
+        patch = resized[ry1 - y_s : ry2 - y_s, rx1 - x_s : rx2 - x_s]
+        result[ry1:ry2, rx1:rx2] = np.clip(
+            np.round(patch), 0, 255).astype(np.uint8)
+    return result
