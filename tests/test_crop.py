@@ -110,3 +110,38 @@ def test_paste_back_window_at_image_edge():
     edited = np.full((512, 512, 3), 128, np.uint8)
     out = paste_back(img, edited, x_s, y_s, crop, box)
     assert (out[260:280, 360:380] == 128).all()
+
+
+def test_paste_back_matches_full_frame_formulation():
+    """The O(bbox) paste is bit-identical to the reference's full-frame
+    two-copy float formulation (app.ipynb:827-840) across fuzzed
+    window/bbox geometries, including boxes extending past the window."""
+    import cv2
+
+    def full_frame(original, edited_crop, x_s, y_s, crop_scale, box):
+        h, w = original.shape[:2]
+        r_h = h - y_s if y_s + crop_scale > h else crop_scale
+        r_w = w - x_s if x_s + crop_scale > w else crop_scale
+        x1, y1, x2, y2 = (int(v) for v in box)
+        mid = np.array(original, dtype=np.float32, copy=True)
+        mid[y_s:y_s + crop_scale, x_s:x_s + crop_scale] = cv2.resize(
+            edited_crop.astype(np.float32), (r_w, r_h))
+        result = np.array(original, dtype=np.float32, copy=True)
+        result[y1:y2, x1:x2] = mid[y1:y2, x1:x2]
+        return np.clip(np.round(result), 0, 255).astype(np.uint8)
+
+    rng = np.random.RandomState(0)
+    for _ in range(40):
+        h, w = rng.randint(64, 400), rng.randint(64, 400)
+        img = rng.randint(0, 256, (h, w, 3), np.uint8)
+        cs = rng.randint(32, min(h, w) + 1)
+        x_s = rng.randint(0, max(1, w - 16))
+        y_s = rng.randint(0, max(1, h - 16))
+        x1 = rng.randint(0, w - 8)
+        y1 = rng.randint(0, h - 8)
+        box = np.int32([x1, y1, rng.randint(x1 + 1, w + 1),
+                        rng.randint(y1 + 1, h + 1)])
+        edited = rng.randint(0, 256, (128, 128, 3), np.uint8)
+        got = paste_back(img, edited, x_s, y_s, cs, box)
+        want = full_frame(img, edited, x_s, y_s, cs, box)
+        np.testing.assert_array_equal(got, want)
