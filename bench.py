@@ -57,7 +57,7 @@ def main() -> None:
     p.add_argument("--res", type=int, default=512)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
-    p.add_argument("--sampler", default="ddim", choices=["ddim", "ddpm"])
+    p.add_argument("--sampler", default="ddim", choices=["ddim", "ddpm", "dpmpp"])
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--warmup", type=int, default=1)
     p.add_argument("--iters", type=int, default=8)

@@ -160,7 +160,7 @@ class EditConfig:
 
     resolution: int = 512
     num_inference_steps: int = 50  # reference demo default is 150 (app.ipynb:914)
-    sampler: str = "ddim"  # {ddpm, ddim}; reference uses DDPM-ancestral
+    sampler: str = "ddim"  # {ddpm, ddim, dpmpp}; reference uses DDPM-ancestral
     # Classifier-free guidance.  The reference defines --guidance_scale but
     # never applies it (CFG code commented out, train_diffute_v1.py:915-917);
     # guidance_scale <= 1 reproduces reference behavior.

@@ -8,6 +8,7 @@ from diffute_tpu.diffusion.schedules import (  # noqa: F401
     ddim_timesteps,
     ddpm_step,
     ddim_step,
+    dpmpp_2m_step,
     init_noise_sigma,
     scale_model_input,
 )

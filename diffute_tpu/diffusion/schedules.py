@@ -1,4 +1,5 @@
-"""Pure-JAX diffusion schedules and samplers (DDPM ancestral + DDIM).
+"""Pure-JAX diffusion schedules and samplers (DDPM ancestral, DDIM,
+DPM-Solver++(2M)).
 
 Functional re-design of the scheduler surface the reference exercises through
 diffusers' ``DDPMScheduler`` (reference train_diffute_v1.py:628,892-909 and
@@ -291,3 +292,75 @@ def ddim_step(
 
     dir_xt = jnp.sqrt(jnp.clip(1.0 - alpha_prod_prev - std**2, 0.0)) * pred_eps
     return jnp.sqrt(alpha_prod_prev) * pred_x0 + dir_xt + std * noise
+
+
+def _alpha_sigma_lambda(
+    schedule: DiffusionSchedule, t: jax.Array, ndim: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(alpha_t, sigma_t, lambda_t) in DPM-Solver's half-log-SNR notation:
+    alpha = sqrt(alpha_bar), sigma = sqrt(1 - alpha_bar),
+    lambda = log(alpha/sigma)."""
+    ac = _gather(schedule.alphas_cumprod, t, ndim)
+    alpha = jnp.sqrt(ac)
+    sigma = jnp.sqrt(1.0 - ac)
+    lam = 0.5 * (jnp.log(ac) - jnp.log1p(-ac))
+    return alpha, sigma, lam
+
+
+def dpmpp_2m_step(
+    schedule: DiffusionSchedule,
+    model_output: jax.Array,
+    t: jax.Array,
+    prev_t: jax.Array,
+    t_last: jax.Array,
+    sample: jax.Array,
+    prev_x0: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """One DPM-Solver++(2M) multistep update x_t -> x_{prev_t}.
+
+    Data-prediction second-order multistep solver (Lu et al. 2022,
+    arXiv:2211.01095 eq. (4.4); the method behind diffusers'
+    ``DPMSolverMultistepScheduler(algorithm_type="dpmsolver++",
+    solver_order=2)``) — reaches DDIM-at-50-steps quality in ~20 steps,
+    a beyond-reference sampler (the reference exposes DDPM only,
+    app.ipynb:545).
+
+    ``t_last`` is the timestep of the *previous* solver step (pass -1 on
+    the first step: falls back to the first-order update, which equals
+    DDIM rewritten in x0 form). ``prev_x0`` is the previous step's x0
+    prediction (any same-shaped array on the first step). ``prev_t`` is
+    the next timestep in the descending sequence; pass -1 on the final
+    step — the boundary then uses ``final_alpha_cumprod``, the same
+    convention as :func:`ddim_step`, and (like diffusers'
+    ``lower_order_final``) drops to first order.
+
+    Returns ``(prev_sample, pred_x0)``; carry ``pred_x0`` into the next
+    call.
+    """
+    nd = sample.ndim
+    _, sigma_t, lam_t = _alpha_sigma_lambda(schedule, t, nd)
+    ac_s = jnp.where(
+        prev_t >= 0,
+        _gather(schedule.alphas_cumprod, jnp.clip(prev_t, 0), nd),
+        jnp.full((1,) * nd, schedule.final_alpha_cumprod),
+    )
+    alpha_s, sigma_s = jnp.sqrt(ac_s), jnp.sqrt(1.0 - ac_s)
+    # +inf at the set_alpha_to_one sigma->0 boundary; expm1(-inf) = -1 and
+    # sigma_s = 0 there, so the update degenerates to pred_x0 with no NaNs.
+    lam_s = 0.5 * (jnp.log(ac_s) - jnp.log1p(-ac_s))
+    _, _, lam_l = _alpha_sigma_lambda(schedule, jnp.clip(t_last, 0), nd)
+
+    pred_x0, _ = _predict_x0_eps(schedule, model_output, t, sample)
+
+    h = lam_s - lam_t
+    h_last = lam_t - lam_l
+    r = h_last / h
+    # second-order correction from the previous x0 prediction; first-order
+    # (D = x0) on the first step and, like diffusers' lower_order_final,
+    # on the final step.
+    second = (t_last >= 0) & (prev_t >= 0)
+    d_corr = (1.0 + 1.0 / (2.0 * r)) * pred_x0 - 1.0 / (2.0 * r) * prev_x0
+    d = jnp.where(second, d_corr, pred_x0)
+
+    x = (sigma_s / sigma_t) * sample - alpha_s * jnp.expm1(-h) * d
+    return x, pred_x0

@@ -41,6 +41,7 @@ from diffute_tpu.diffusion import (
     ddim_timesteps,
     ddpm_step,
     ddpm_timesteps,
+    dpmpp_2m_step,
     make_schedule,
 )
 from diffute_tpu.io import hostops
@@ -306,10 +307,15 @@ class DiffUTEPipeline:
                     eps = unet_reuse(cache, t, ctx, ctx_kv)
             return eps, cache
 
-        def advance(latents, eps, t, prev_t, noise_t):
+        def advance(latents, aux, eps, t, prev_t, noise_t):
             if sampler == "ddpm":
                 latents = ddpm_step(self.schedule, eps, t, latents, noise_t,
                                     num_inference_steps=num_steps)
+            elif sampler == "dpmpp":
+                prev_x0, t_last = aux
+                latents, x0 = dpmpp_2m_step(self.schedule, eps, t, prev_t,
+                                            t_last, latents, prev_x0)
+                aux = (x0, t)
             else:
                 latents = ddim_step(self.schedule, eps, t, prev_t, latents)
             if blend:
@@ -320,32 +326,40 @@ class DiffUTEPipeline:
                     crop_latents,
                 )
                 latents = mask_lat * latents + (1.0 - mask_lat) * noised
-            return latents
+            return latents, aux
 
         k = max(1, reuse_interval)
         n_super, rem = divmod(num_steps, k)
 
-        def super_body(latents, scan_x):
+        # DPM-Solver++(2M) is multistep: the previous step's x0 prediction
+        # and timestep ride the scan carry (single-step samplers carry ()).
+        aux0 = ((jnp.zeros_like(latents), jnp.asarray(-1, jnp.int32))
+                if sampler == "dpmpp" else ())
+
+        def super_body(carry, scan_x):
+            latents, aux = carry
             ts_g, prevs_g, noise_g = scan_x  # leading dim k
             cache = None
             for j in range(k):  # statically unrolled
                 eps, cache = predict(latents, ts_g[j],
                                      cache if j > 0 else None)
-                latents = advance(latents, eps, ts_g[j], prevs_g[j], noise_g[j])
-            return latents, None
+                latents, aux = advance(latents, aux, eps, ts_g[j],
+                                       prevs_g[j], noise_g[j])
+            return (latents, aux), None
 
         def group(x, n, size):
             return x[: n * size].reshape((n, size) + x.shape[1:])
 
+        aux = aux0
         if n_super:
-            latents, _ = jax.lax.scan(
-                super_body, latents,
+            (latents, aux), _ = jax.lax.scan(
+                super_body, (latents, aux0),
                 (group(ts_arr, n_super, k), group(prev_arr, n_super, k),
                  group(step_noise, n_super, k)))
         for j in range(num_steps - rem, num_steps):  # remainder: full steps
             eps, _ = predict(latents, ts_arr[j], None)
-            latents = advance(latents, eps, ts_arr[j], prev_arr[j],
-                              step_noise[j])
+            latents, aux = advance(latents, aux, eps, ts_arr[j], prev_arr[j],
+                                   step_noise[j])
         return latents
 
     def _device_decode(self, vae_params, latents: jax.Array) -> jax.Array:
@@ -504,12 +518,24 @@ class DiffUTEPipeline:
                 ca = lowered.cost_analysis()
                 if isinstance(ca, (list, tuple)):
                     ca = ca[0]
+                if not ca or "flops" not in ca:
+                    # the axon client's Lowered.cost_analysis() returns
+                    # None; the compiled executable's works (and hits the
+                    # compile cache — these stages already ran)
+                    ca = lowered.compile().cost_analysis()
+                    if isinstance(ca, (list, tuple)):
+                        ca = ca[0]
                 return float(ca["flops"])
 
             prep_f = flops_of(prep.lower(self.params, *inputs, null384, key))
             prepped = jax.eval_shape(prep, self.params, *inputs, null384, key)
             prepped = tuple(jnp.zeros(x.shape, x.dtype) for x in prepped)
             loop_f = flops_of(loop.lower(self.params["unet"], *prepped, key))
+            # HLO cost analysis counts the denoise lax.scan body ONCE
+            # (verified empirically); the body holds one reuse-group of
+            # steps, so scale by the trip count to get executed flops.
+            num_steps, reuse = sig[0], max(1, sig[4])
+            loop_f *= max(1, num_steps // reuse)
             lat = jax.eval_shape(loop, self.params["unet"], *prepped, key)
             decode_f = flops_of(decode.lower(
                 self.params["vae"], jnp.zeros(lat.shape, lat.dtype)))

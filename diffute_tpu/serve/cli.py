@@ -20,7 +20,7 @@ def main() -> None:
     p.add_argument("--box", required=True, help="x1,y1,x2,y2")
     p.add_argument("--text", required=True)
     p.add_argument("--steps", type=int, default=50)
-    p.add_argument("--sampler", default="ddim", choices=["ddim", "ddpm"])
+    p.add_argument("--sampler", default="ddim", choices=["ddim", "ddpm", "dpmpp"])
     p.add_argument("--guidance_scale", type=float, default=1.0,
                    help="classifier-free guidance (<=1 reproduces reference)")
     p.add_argument("--blend", action="store_true",

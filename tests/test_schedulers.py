@@ -16,6 +16,7 @@ from diffute_tpu.diffusion import (
     ddim_timesteps,
     ddpm_step,
     ddpm_timesteps,
+    dpmpp_2m_step,
     get_velocity,
     make_schedule,
     training_target,
@@ -175,3 +176,67 @@ def test_v_prediction_roundtrip():
     ac0 = float(sched_v.alphas_cumprod[0])
     expect = np.sqrt(ac0) * np.asarray(x0) + np.sqrt(1 - ac0) * np.asarray(eps)
     np.testing.assert_allclose(np.asarray(out), expect, atol=1e-4)
+
+
+def _run_sampler(sched, eps_fn, x_init, steps, sampler):
+    """Drive a sampler over the full descending sequence with an oracle
+    eps model (host loop; the pipeline's scan does the same math)."""
+    ts = ddim_timesteps(sched, steps)
+    prevs = np.concatenate([ts[1:], [-1]]).astype(np.int32)
+    x = x_init
+    prev_x0, t_last = jnp.zeros_like(x_init), jnp.asarray(-1, jnp.int32)
+    for t, pt in zip(ts, prevs):
+        t, pt = jnp.asarray(t), jnp.asarray(pt)
+        eps = eps_fn(x, t)
+        if sampler == "dpmpp":
+            x, prev_x0 = dpmpp_2m_step(sched, eps, t, pt, t_last, x, prev_x0)
+            t_last = t
+        else:
+            x = ddim_step(sched, eps, t, pt, x)
+    return np.asarray(x)
+
+
+def test_dpmpp_equals_ddim_for_constant_x0_oracle(sched):
+    """With a model whose x0 prediction is constant in t, the 2M correction
+    vanishes (both x0 predictions agree) and DPM-Solver++ reduces exactly
+    to DDIM — closed-form identity of the two update rules."""
+    x0_star = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 4))
+    x_init = jax.random.normal(jax.random.PRNGKey(1), x0_star.shape)
+
+    def eps_fn(x, t):
+        ac = sched.alphas_cumprod[t]
+        return (x - jnp.sqrt(ac) * x0_star) / jnp.sqrt(1.0 - ac)
+
+    for steps in (5, 20):
+        a = _run_sampler(sched, eps_fn, x_init, steps, "dpmpp")
+        b = _run_sampler(sched, eps_fn, x_init, steps, "ddim")
+        np.testing.assert_allclose(a, b, atol=2e-4)
+        # both land near the oracle x0 (up to the shared
+        # final_alpha_cumprod boundary re-noising, ~sqrt(1-ac0)*|eps|)
+        np.testing.assert_allclose(a, np.asarray(x0_star), atol=0.15)
+
+
+def test_dpmpp_second_order_beats_ddim_at_few_steps(sched):
+    """Against a fine-grained DDIM reference of the same probability-flow
+    ODE, with an oracle x0 trajectory linear in half-log-SNR lambda (the
+    variable the solver integrates in), the second-order multistep
+    correction must land far closer than first-order DDIM at the same
+    step count — 4x+ observed; a wrong-signed D1 correction flips this."""
+    base = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 4, 4))
+    x_init = jax.random.normal(jax.random.PRNGKey(3), base.shape)
+    ac = sched.alphas_cumprod
+    lam = 0.5 * (jnp.log(ac) - jnp.log1p(-ac))
+
+    def eps_fn(x, t):
+        x0_t = base * lam[t] * 0.3
+        a = ac[t]
+        return (x - jnp.sqrt(a) * x0_t) / jnp.sqrt(1.0 - a)
+
+    ref = _run_sampler(sched, eps_fn, x_init, 1000, "ddim")
+    for steps in (10, 20):
+        e_ddim = np.abs(_run_sampler(sched, eps_fn, x_init, steps, "ddim")
+                        - ref).mean()
+        e_dpm = np.abs(_run_sampler(sched, eps_fn, x_init, steps, "dpmpp")
+                       - ref).mean()
+        assert np.isfinite(e_dpm)
+        assert e_dpm < e_ddim / 4, (steps, e_dpm, e_ddim)
