@@ -114,16 +114,17 @@ def main():
     }
     # training-step MFU from XLA HLO cost analysis of the compiled step
     # (counts EXECUTED flops, i.e. includes remat recompute — an honest
-    # hardware-utilization number, slightly above model-flops MFU)
+    # hardware-utilization number, slightly above model-flops MFU).
+    # HLO cost analysis visits a lax.scan body ONCE regardless of trip
+    # count (verified empirically), so for the k-step scan executable the
+    # reported flops ARE (one step + small prologue), no division needed.
     try:
         if k > 1:
             low = trainer._multi.lower(trainer.state, trainer.frozen,
                                        batches, keys[0])
-            per_call_steps = k
         else:
             low = trainer._step.lower(trainer.state, trainer.frozen,
                                       batch, keys[0])
-            per_call_steps = 1
         ca = low.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
@@ -134,7 +135,7 @@ def main():
             ca = low.compile().cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
-        step_flops = float(ca["flops"]) / per_call_steps
+        step_flops = float(ca["flops"])
         out["hlo_tflops_per_step"] = round(step_flops / 1e12, 2)
         out["mfu"] = round(step_flops / dt / 197e12, 4)
     except Exception as e:
