@@ -67,6 +67,11 @@ def parse_args(argv=None):
                    help="encoder propagation interval (Faster Diffusion); "
                         "1 = exact sampling — lets the speed opt-in be "
                         "QUALITY-ablated against the exact sampler")
+    p.add_argument("--sampler", default=None,
+                   choices=["ddim", "ddpm", "dpmpp"],
+                   help="override the config sampler — lets DPM-Solver++ "
+                        "at few steps be QUALITY-ablated against 50-step "
+                        "DDIM on the same checkpoint")
     return p.parse_args(argv)
 
 
@@ -271,10 +276,12 @@ def run_eval(args) -> dict:
         examples = _iter_synthetic(max(1, args.synthetic or 4), args.seed)
 
     edit_cfg = config.edit
-    if args.reuse > 1:
+    if args.reuse > 1 or args.sampler:
         import dataclasses as _dc
 
-        edit_cfg = _dc.replace(edit_cfg, encoder_reuse_interval=args.reuse)
+        edit_cfg = _dc.replace(
+            edit_cfg, encoder_reuse_interval=args.reuse,
+            sampler=args.sampler or edit_cfg.sampler)
 
     rows = []
     for i, (image, box, text) in enumerate(examples):
@@ -308,6 +315,7 @@ def run_eval(args) -> dict:
         "num_examples": len(rows),
         "steps": args.steps,
         "encoder_reuse_interval": args.reuse,
+        "sampler": edit_cfg.sampler,
         "ssim_background_mean": float(np.mean([r["ssim_background"]
                                                for r in rows])),
         "psnr_background_mean": float(np.mean([r["psnr_background"]
