@@ -40,8 +40,13 @@ def main():
     jax.config.update("jax_default_prng_impl", "rbg")
     from diffute_tpu.ops.attention import _xla_attention
     from diffute_tpu.ops.flash_attention import flash_attention
-    from diffute_tpu.utils.benchmark import time_fn
+    from diffute_tpu.utils.benchmark import time_op
 
+    # time_op, NOT time_fn: a single attention call at these shapes is
+    # ~0.3-6 ms while a relay round-trip is ~100+ ms, so end-to-end call
+    # timing is pure RTT noise.  time_op chains the kernel on its q operand
+    # inside two scan lengths and differences them, cancelling dispatch and
+    # transfer entirely (utils/benchmark.py).
     results = []
     for s_len in (int(s) for s in args.seqs.split(",")):
         shape = (args.batch, s_len, args.heads, args.dim)
@@ -53,9 +58,9 @@ def main():
         scale = args.dim ** -0.5
         flops = 4 * args.batch * args.heads * s_len * s_len * args.dim
 
-        t = time_fn(jax.jit(lambda q, k, v: _xla_attention(q, k, v, scale)),
+        t = time_op(lambda x, k, v: _xla_attention(x, k, v, scale),
                     q, k, v, repeats=args.repeats)
-        row = {"seq": s_len, "impl": "xla", "s": round(t, 5),
+        row = {"seq": s_len, "impl": "xla", "s": round(t, 6),
                "tf_s": round(flops / t / 1e12, 1)}
         results.append(row)
         print(json.dumps(row), flush=True)
@@ -67,17 +72,17 @@ def main():
                 # f32 score tile must fit VMEM next to q/kv/acc tiles
                 if bq * bkv * 4 > 8 * 1024 * 1024:
                     continue
-                fn = jax.jit(lambda q, k, v, bq=bq, bkv=bkv: flash_attention(
-                    q, k, v, scale, bq, bkv))
+                op = (lambda x, k, v, bq=bq, bkv=bkv:
+                      flash_attention(x, k, v, scale, bq, bkv))
                 try:
-                    t = time_fn(fn, q, k, v, repeats=args.repeats)
+                    t = time_op(op, q, k, v, repeats=args.repeats)
                 except Exception as e:
                     print(json.dumps({"seq": s_len, "block_q": bq,
                                       "block_kv": bkv,
                                       "error": str(e)[:120]}), flush=True)
                     continue
                 row = {"seq": s_len, "impl": "flash", "block_q": bq,
-                       "block_kv": bkv, "s": round(t, 5),
+                       "block_kv": bkv, "s": round(t, 6),
                        "tf_s": round(flops / t / 1e12, 1)}
                 results.append(row)
                 print(json.dumps(row), flush=True)

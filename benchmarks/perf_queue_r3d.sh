@@ -1,16 +1,17 @@
 #!/bin/bash
-# Round-3 queue d: tuned-attn headline, DPM-Solver++ speed + quality on the
-# trained convergence checkpoint, serving batch sweep, idle hostops re-run,
-# fixed-MFU train bench.  One job on the chip at a time.
+# Round-3 queue d — items that do NOT depend on the flash-attention block
+# table: the RTT-cancelling attention re-sweep (the queue-c sweep used
+# end-to-end call timing, which is relay-RTT noise at these kernel sizes),
+# the DPM-Solver++ quality ablation on the trained checkpoint (numerics are
+# block-independent), an idle-host hostops re-run (the queue-c run raced the
+# pytest suite), and the fixed-MFU train bench.  perf_queue_r3e.sh holds the
+# table-dependent speed benches and runs after the table is finalized.
+# One job on the chip at a time.
 set -x
 cd /root/repo
 
-echo '=== headline iters=12 with the tuned attention table ==='
-timeout 2400 python bench.py --iters 12
-
-echo '=== DPM-Solver++ throughput at 20 and 10 steps ==='
-timeout 2400 python bench.py --sampler dpmpp --steps 20 --iters 8
-timeout 2400 python bench.py --sampler dpmpp --steps 10 --iters 8
+echo '=== attention re-sweep with RTT-cancelling time_op (incl 768^2 regime) ==='
+timeout 5400 python benchmarks/attn_bench.py --seqs 4096,9216,16384 --repeats 3
 
 echo '=== DPM-Solver++ QUALITY vs 50-step DDIM on the trained checkpoint ==='
 CK=runs/convergence/unet/checkpoint-12032
@@ -21,12 +22,11 @@ if [ -d "$CK" ]; then
       --steps $S --sampler dpmpp --seed 0 \
       --out runs/convergence/report_trained_dpmpp$S.json
   done
+  timeout 1800 python -m diffute_tpu.eval.run --model_scale small \
+    --pretrained "$CK" --tokenizer char --synthetic 16 --max_examples 16 \
+    --steps 20 --seed 0 \
+    --out runs/convergence/report_trained_ddim20.json
 fi
-
-echo '=== serving batch sweep (edit_batch) ==='
-timeout 2400 python bench.py --batch 2 --iters 4
-timeout 2400 python bench.py --batch 4 --iters 4
-timeout 2400 python bench.py --batch 8 --iters 4
 
 echo '=== hostops micro-bench on an idle host ==='
 timeout 600 python benchmarks/hostops_bench.py
