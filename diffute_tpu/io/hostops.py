@@ -9,9 +9,11 @@ machine):
 
   op                      native   cv2/numpy   product backend
   resize_bilinear_u8      3.6 ms   1.3 ms      cv2 (SIMD fixed-point wins)
-  crop_resize_normalize   3.7 ms   3.7 ms      native (time parity; saves the
-                                               intermediate u8 allocation)
-  masked_fill             0.6 ms   8.6 ms      native (14x)
+  crop_resize_normalize   2.5 ms   2.0 ms      native (within ~0.5 ms of
+                                               cv2 run-to-run; one pass, no
+                                               intermediate u8 allocation,
+                                               keeps cv2 optional)
+  masked_fill             0.35 ms  4.6 ms      native (13x)
   decode_jpeg             (libjpeg-turbo, the same codec cv2 bundles:
                           bit-identical output, time parity; native is the
                           product default so cv2 is a soft dependency of the

@@ -51,15 +51,31 @@ def _round_up(x: int, m: int) -> int:
 # per q-block (HBM traffic ~ n_q*T*D bytes), so a larger block_q wins until
 # the f32 (block_q, block_kv) score tile pressures VMEM.
 _TUNED_BLOCKS = (
-    # (min_query_tokens, block_q, block_kv) — ascending by min_query_tokens
+    # (min_query_tokens, block_q, block_kv) — ascending by min_query_tokens.
+    # Round-3 RTT-cancelled sweep (time_op scan differencing; end-to-end
+    # call timing is relay noise at these kernel sizes): the old (256, 512)
+    # default leaves 2-3x on the table at long T — 16384 tokens: 9.3 ms vs
+    # 3.2 ms for (2048, 1024), XLA 18.3 ms; 9216: 0.87 ms for (1024, 2048);
+    # 4096: bkv=1024 with large bq wins (~0.13-0.17 ms vs 0.52 ms).
+    (0, 256, 512),
+    (4096, 2048, 1024),
+    (8192, 1024, 2048),
+    (16384, 2048, 1024),
+)
+
+# The backward kernels keep more operands resident per tile (q, k, v, o,
+# do, lse, two accumulators), so the forward winners overflow the 16 MB
+# scoped-vmem stack — (2048, 1024) at 4096 tokens was measured 19.8 MB at
+# compile. Keep the conservative r2-validated sizes for training.
+_TUNED_BLOCKS_BWD = (
     (0, 256, 512),
 )
 
 
-def _resolve_blocks(s_len: int, block_q, block_kv):
+def _resolve_blocks(s_len: int, block_q, block_kv, table=_TUNED_BLOCKS):
     """Fill None block sizes from the tuned table (largest matching row)."""
     if block_q is None or block_kv is None:
-        for min_t, bq, bkv in reversed(_TUNED_BLOCKS):
+        for min_t, bq, bkv in reversed(table):
             if s_len >= min_t:
                 block_q = bq if block_q is None else block_q
                 block_kv = bkv if block_kv is None else block_kv
@@ -365,7 +381,8 @@ def _flash_bwd_rule(scale, block_q, block_kv, res, g):
     q, k, v, o3, lse = res
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    block_q, block_kv = _resolve_blocks(q.shape[1], block_q, block_kv)
+    block_q, block_kv = _resolve_blocks(q.shape[1], block_q, block_kv,
+                                        table=_TUNED_BLOCKS_BWD)
     b, _, h, _ = q.shape
     dq3, dk3, dv3 = _flash_bwd_3d(
         _to3d(q), _to3d(k), _to3d(v), o3, lse, _to3d(g), scale,
