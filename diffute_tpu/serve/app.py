@@ -73,7 +73,7 @@ def launch(checkpoint: Optional[str] = None, share: bool = False):
             roi, evt.index, np.asarray(img).shape[:2])
         return roi, (img, sections), bx0, by0, bx1, by1
 
-    def on_generate(img, text, steps, roi, bx0, by0, bx1, by1):
+    def on_generate(img, text, steps, sampler, roi, bx0, by0, bx1, by1):
         # the Number boxes are authoritative (they're example-seeded and
         # hand-editable, like the reference); clicks only populate them.
         # Unclicked Number widgets deliver None — treat as no box.
@@ -83,7 +83,8 @@ def launch(checkpoint: Optional[str] = None, share: bool = False):
             raise gr.Error("Click two corners of the text region (or fill "
                            "the X0/Y0/X1/Y1 boxes) first.")
         try:
-            return run_edit(pipe, img, text, steps, bx0, by0, bx1, by1)
+            return run_edit(pipe, img, text, steps, bx0, by0, bx1, by1,
+                            sampler=sampler)
         except (TypeError, ValueError) as e:
             raise gr.Error(str(e)) from e
 
@@ -107,6 +108,11 @@ def launch(checkpoint: Optional[str] = None, share: bool = False):
                     steps = gr.Slider(
                         20.0, 200.0, value=150, step=1, label="Inference step",
                         info="The step of denoising process.")
+                    sampler = gr.Dropdown(
+                        ["ddim", "ddpm", "dpmpp"], value="ddim",
+                        label="Sampler",
+                        info="dpmpp = DPM-Solver++(2M): full quality at "
+                             "~20 steps (beyond-reference option).")
                     gr.Examples(
                         examples,
                         inputs=[text_input, ori_image, steps, x0, y0, x1, y1])
@@ -116,7 +122,8 @@ def launch(checkpoint: Optional[str] = None, share: bool = False):
         ori_image.select(on_select, [ori_image, roi_state],
                          [roi_state, img_output, x0, y0, x1, y1])
         button.click(on_generate,
-                     [ori_image, text_input, steps, roi_state, x0, y0, x1, y1],
+                     [ori_image, text_input, steps, sampler, roi_state,
+                      x0, y0, x1, y1],
                      [output_img, output_mask])
     demo.launch(share=share)
 

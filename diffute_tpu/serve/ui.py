@@ -64,17 +64,25 @@ def roi_ready(state: Dict[str, int]) -> bool:
 
 
 def run_edit(pipe, image: np.ndarray, text: str, steps,
-             x0, y0, x1, y1) -> Tuple[np.ndarray, np.ndarray]:
+             x0, y0, x1, y1,
+             sampler: str = None) -> Tuple[np.ndarray, np.ndarray]:
     """The Generate-button callback body: the reference's ``text_editing``
     argument order (text, image, steps, x0, y0, x1, y1 -> image, mask;
-    app.ipynb:653,927)."""
+    app.ipynb:653,927).  ``sampler`` is a beyond-reference knob
+    ({ddim, ddpm, dpmpp}; None keeps the pipeline config)."""
     if image is None:
         raise ValueError("upload an image first")
     if not text:
         raise ValueError("enter the replacement text")
     box = (int(x0), int(y0), int(x1), int(y1))
+    kwargs = {}
+    if sampler:
+        import dataclasses
+
+        kwargs["edit_config"] = dataclasses.replace(pipe.config.edit,
+                                                    sampler=sampler)
     return pipe.edit(np.asarray(image, dtype=np.uint8), box, text,
-                     num_inference_steps=int(steps))
+                     num_inference_steps=int(steps), **kwargs)
 
 
 def make_examples(directory: str, seed: int = 0) -> List[list]:

@@ -103,3 +103,26 @@ def test_run_edit_validates_inputs():
         run_edit(FakePipe(), None, "x", 50, 0, 0, 1, 1)
     with pytest.raises(ValueError):
         run_edit(FakePipe(), np.zeros((8, 8, 3), np.uint8), "", 50, 0, 0, 1, 1)
+
+
+def test_run_edit_sampler_override():
+    """The beyond-reference sampler dropdown routes through edit_config."""
+    import dataclasses
+
+    from diffute_tpu.config import tiny_test_config
+
+    captured = {}
+
+    class FakePipe:
+        config = tiny_test_config()
+
+        def edit(self, image, box, text, num_inference_steps,
+                 edit_config=None):
+            captured["sampler"] = edit_config and edit_config.sampler
+            return image, np.zeros(image.shape[:2], np.uint8)
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    run_edit(FakePipe(), img, "X", 20, 0, 0, 4, 4, sampler="dpmpp")
+    assert captured["sampler"] == "dpmpp"
+    run_edit(FakePipe(), img, "X", 20, 0, 0, 4, 4)
+    assert captured["sampler"] is None
