@@ -52,15 +52,15 @@ def _round_up(x: int, m: int) -> int:
 # the f32 (block_q, block_kv) score tile pressures VMEM.
 _TUNED_BLOCKS = (
     # (min_query_tokens, block_q, block_kv) — ascending by min_query_tokens.
-    # Round-3 RTT-cancelled sweep (time_op scan differencing; end-to-end
-    # call timing is relay noise at these kernel sizes): the old (256, 512)
-    # default leaves 2-3x on the table at long T — 16384 tokens: 9.3 ms vs
-    # 3.2 ms for (2048, 1024), XLA 18.3 ms; 9216: 0.87 ms for (1024, 2048);
-    # 4096: bkv=1024 with large bq wins (~0.13-0.17 ms vs 0.52 ms).
+    # Round-3 RTT-cancelled sweep (time_op scan differencing with adaptive
+    # ~1s chains; end-to-end call timing is relay noise at these kernel
+    # sizes).  The old (256, 512) default left 2x+ on the table: measured
+    # best 4096 tokens (2048, 1024) 0.30 ms = 71 TF/s (old 0.61 ms, XLA
+    # 2.4 ms); 9216 (1024, 1024) 1.50 ms = 72 TF/s; 16384 (1024, 1024)
+    # 4.66 ms = 74 TF/s (old 9.8 ms, XLA 21 ms).
     (0, 256, 512),
     (4096, 2048, 1024),
-    (8192, 1024, 2048),
-    (16384, 2048, 1024),
+    (8192, 1024, 1024),
 )
 
 # The backward kernels keep more operands resident per tile (q, k, v, o,
