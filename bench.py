@@ -219,7 +219,11 @@ if __name__ == "__main__":
         # pause instead of recording 0.0 for the round; a poisoned JAX client
         # can't be reused in-process.
         retries = int(os.environ.get("DIFFUTE_BENCH_RETRY", "0"))
-        if "RESOURCE_EXHAUSTED" in msg.replace(" ", "_").upper() and retries < 2:
+        up = msg.replace(" ", "_").upper()
+        transient = ("RESOURCE_EXHAUSTED" in up
+                     # relay hiccups: dropped remote-compile responses etc.
+                     or "REMOTE_COMPILE" in up or "BODY_CLOSED" in up)
+        if transient and retries < 2:
             print(f"# transient device OOM ({msg}); retry {retries + 1} "
                   f"in 150s", file=sys.stderr)
             time.sleep(150)
