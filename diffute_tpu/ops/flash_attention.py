@@ -55,12 +55,14 @@ _TUNED_BLOCKS = (
     # Round-3 RTT-cancelled sweep (time_op scan differencing with adaptive
     # ~1s chains; end-to-end call timing is relay noise at these kernel
     # sizes).  The old (256, 512) default left 2x+ on the table: measured
-    # best 4096 tokens (2048, 1024) 0.30 ms = 71 TF/s (old 0.61 ms, XLA
-    # 2.4 ms); 9216 (1024, 1024) 1.50 ms = 72 TF/s; 16384 (1024, 1024)
-    # 4.66 ms = 74 TF/s (old 9.8 ms, XLA 21 ms).
+    # best 4096 tokens 0.30-0.31 ms = 71 TF/s (old 0.61 ms, XLA 2.4 ms);
+    # 9216 (1024, 1024) 1.50 ms = 72 TF/s; 16384 (1024, 1024) 4.66 ms =
+    # 74 TF/s (old 9.8 ms, XLA 21 ms).  block_q 2048 was 2% faster at
+    # 4096 tokens but its ~17 MB tile footprint overflows the 16 MB
+    # scoped-vmem stack at batch >= 2 (measured at compile); (1024, 1024)
+    # holds the same plateau with half the footprint.
     (0, 256, 512),
-    (4096, 2048, 1024),
-    (8192, 1024, 1024),
+    (4096, 1024, 1024),
 )
 
 # The backward kernels keep more operands resident per tile (q, k, v, o,
