@@ -38,6 +38,9 @@ class VAEConfig:
     # Rematerialize resnet blocks during stage-1 training (512^2 pixel-space
     # activations are the memory hot spot).
     remat: bool = False
+    # Route the mid-block's single-head attention (head_dim = 512, seq =
+    # (res/8)^2 = 4096..16384 tokens) through the Pallas flash kernel.
+    use_flash_attention: bool = False
 
     @property
     def scale_factor(self) -> int:

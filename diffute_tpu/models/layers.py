@@ -216,6 +216,10 @@ class Upsample2D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        # Nearest x2 as broadcast+reshape: bit-identical to
+        # jax.image.resize(method="nearest") at exact integer scale, but
+        # lowers to a fusable broadcast instead of a gather on TPU.
+        x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                             (b, h, 2, w, 2, c)).reshape(b, h * 2, w * 2, c)
         return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                        dtype=self.dtype, name="conv")(x)

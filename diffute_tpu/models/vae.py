@@ -30,6 +30,7 @@ class MidBlock(nn.Module):
     channels: int
     groups: int
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -41,6 +42,7 @@ class MidBlock(nn.Module):
                               dtype=self.dtype, name="attn_group_norm")(x)
         hidden = hidden.reshape(b, h * w, c)
         hidden = Attention(num_heads=1, head_dim=c, qkv_bias=True,
+                           use_flash=self.use_flash,
                            dtype=self.dtype, name="attentions_0")(hidden)
         x = res + hidden.reshape(b, h, w, c)
         x = ResnetBlock2D(self.channels, use_time_emb=False, groups=self.groups,
@@ -66,7 +68,8 @@ class Encoder(nn.Module):
                 x = Downsample2D(ch, dtype=cfg.dtype,
                                  name=f"down_blocks_{i}_downsamplers_0")(x)
         x = MidBlock(cfg.block_out_channels[-1], cfg.norm_num_groups,
-                     dtype=cfg.dtype, name="mid_block")(x)
+                     dtype=cfg.dtype, use_flash=cfg.use_flash_attention,
+                     name="mid_block")(x)
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
                          dtype=cfg.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
@@ -86,7 +89,7 @@ class Decoder(nn.Module):
         x = nn.Conv(rev[0], (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype,
                     name="conv_in")(z)
         x = MidBlock(rev[0], cfg.norm_num_groups, dtype=cfg.dtype,
-                     name="mid_block")(x)
+                     use_flash=cfg.use_flash_attention, name="mid_block")(x)
         for i, ch in enumerate(rev):
             for j in range(cfg.layers_per_block + 1):
                 x = resnet(ch, use_time_emb=False, groups=cfg.norm_num_groups,

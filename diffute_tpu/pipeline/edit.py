@@ -176,7 +176,7 @@ class DiffUTEPipeline:
         masked_u8: jax.Array,    # (B, R, R, 3) uint8
         glyph_u8: jax.Array,     # (B, 384, 384, 3) uint8
         null_glyph_u8: jax.Array,  # (1, 384, 384, 3) uint8 (CFG only)
-        key: jax.Array,
+        seed: jax.Array,         # () int32
     ):
         cfg = self.config
         sf = cfg.vae.scaling_factor
@@ -184,7 +184,12 @@ class DiffUTEPipeline:
         B, R = mask_u8.shape[0], mask_u8.shape[1]
         r = R // f
 
-        k_init, k_mask_lat, k_crop_lat = jax.random.split(key, 3)
+        # ALL key derivation happens inside this jit: on the relay backend
+        # every eager op (PRNGKey / split at the call site) costs a network
+        # round-trip per edit.  The loop stage's key is returned as an extra
+        # output so the chained program stays a pure jit->jit->jit pipeline.
+        k_prep, k_loop = jax.random.split(jax.random.PRNGKey(seed))
+        k_init, k_mask_lat, k_crop_lat = jax.random.split(k_prep, 3)
 
         # Conditioning: TrOCR encode of the glyph render (reference
         # train_diffute_v1.py:868-871).
@@ -221,7 +226,8 @@ class DiffUTEPipeline:
         # init_noise_sigma=1, app.ipynb:796-801).
         latents = jax.random.normal(k_init, (B, r, r, cfg.vae.latent_channels),
                                     jnp.float32)
-        return ctx, null_ctx, mask_lat, masked_latents, crop_latents, latents
+        return (ctx, null_ctx, mask_lat, masked_latents, crop_latents, latents,
+                k_loop)
 
     def _device_loop(
         self,
@@ -389,10 +395,9 @@ class DiffUTEPipeline:
             decode = self._decode
 
             def run(params, crop_u8, mask_u8, masked_u8, glyph_u8,
-                    null_glyph_u8, key):
-                k_prep, k_loop = jax.random.split(key)
-                prepped = prep(params, crop_u8, mask_u8, masked_u8, glyph_u8,
-                               null_glyph_u8, k_prep)
+                    null_glyph_u8, seed):
+                *prepped, k_loop = prep(params, crop_u8, mask_u8, masked_u8,
+                                        glyph_u8, null_glyph_u8, seed)
                 latents = loop(params["unet"], *prepped, k_loop)
                 return decode(params["vae"], latents)
 
@@ -487,11 +492,11 @@ class DiffUTEPipeline:
                ec.encoder_reuse_interval)
         prep, loop, decode = self._stages[sig]
 
-        k_prep, k_loop = jax.random.split(jax.random.PRNGKey(seed))
         t0 = time.perf_counter()
-        prepped = jax.device_get(prep(self.params, *inputs, null384, k_prep))
+        prepped = jax.device_get(prep(self.params, *inputs, null384,
+                                      np.int32(seed)))
         stats["prep_s"] = time.perf_counter() - t0
-        prepped = tuple(jnp.asarray(x) for x in prepped)
+        *prepped, k_loop = (jnp.asarray(x) for x in prepped)
         t0 = time.perf_counter()
         latents = jax.device_get(loop(self.params["unet"], *prepped, k_loop))
         stats["loop_s"] = time.perf_counter() - t0
@@ -512,7 +517,7 @@ class DiffUTEPipeline:
         """XLA HLO-cost-analysis FLOPs per device stage for a batch-1 edit
         (best-effort: None when the backend's lowering can't report it)."""
         prep, loop, decode = self._stages[sig]
-        key = jax.random.PRNGKey(0)
+        seed0 = jnp.int32(0)
         try:
             def flops_of(lowered):
                 ca = lowered.cost_analysis()
@@ -527,9 +532,11 @@ class DiffUTEPipeline:
                         ca = ca[0]
                 return float(ca["flops"])
 
-            prep_f = flops_of(prep.lower(self.params, *inputs, null384, key))
-            prepped = jax.eval_shape(prep, self.params, *inputs, null384, key)
-            prepped = tuple(jnp.zeros(x.shape, x.dtype) for x in prepped)
+            prep_f = flops_of(prep.lower(self.params, *inputs, null384, seed0))
+            prepped = jax.eval_shape(prep, self.params, *inputs, null384,
+                                     seed0)
+            *prepped, key = tuple(jnp.zeros(x.shape, x.dtype)
+                                  for x in prepped)
             loop_f = flops_of(loop.lower(self.params["unet"], *prepped, key))
             # HLO cost analysis counts the denoise lax.scan body ONCE
             # (verified empirically); the body holds one reuse-group of
@@ -665,7 +672,7 @@ class DiffUTEPipeline:
         else:
             inputs = tuple(jnp.asarray(x) for x in inputs)
         out = fn(self.params, *inputs, jnp.asarray(null384),
-                 jax.random.PRNGKey(seed))
+                 np.int32(seed))
         return np.asarray(jax.device_get(out))
 
 
