@@ -88,6 +88,13 @@ def main():
                    help="lax.scan stride forwarded to every trainer; >1 "
                         "amortizes the relay's per-call boundary cost "
                         "(BASELINE.md training table)")
+    p.add_argument("--curve_every", type=int, default=0,
+                   help="when >0, run the eval after every stage-2 segment "
+                        "that crosses a multiple of N steps and append the "
+                        "point to learning_curve.json — the committed "
+                        "evidence that more steps -> better edits (the "
+                        "reference only ever shows a loss curve, "
+                        "train_diffute_v1.py:938)")
     p.add_argument("--skip", default="",
                    help="comma list of stages to skip (ocr,vae,unet,eval)")
     args = p.parse_args()
@@ -124,6 +131,50 @@ def main():
                  "--seed", str(args.seed), "--output_dir", vae_dir] + spc + resume(vae_dir),
            os.path.join(out, "vae.log"))
 
+    def attach_decoder(ck):
+        # eval needs the verifier decoder inside the checkpoint dir
+        dec_src = os.path.join(latest_checkpoint(ocr_dir), "trocr_decoder")
+        dec_dst = os.path.join(ck, "trocr_decoder")
+        if not os.path.isdir(dec_dst):
+            shutil.copytree(dec_src, dec_dst)
+
+    def eval_ckpt(ck, out_path, extra=(), log="eval.log"):
+        attach_decoder(ck)
+        sh(py + ["diffute_tpu.eval.run", "--model_scale", "small",
+                 "--pretrained", ck, "--tokenizer", "char",
+                 "--synthetic", str(args.eval_examples),
+                 "--max_examples", str(args.eval_examples),
+                 "--steps", str(args.eval_steps), "--seed", str(args.seed),
+                 "--out", out_path] + list(extra),
+           os.path.join(out, log))
+
+    def curve_point(step):
+        """Eval the newest checkpoint and append (step -> metrics) to
+        learning_curve.json; skips work a killed+resumed chain already did."""
+        report_path = os.path.join(out, f"report_step{step}.json")
+        if not os.path.exists(report_path):
+            eval_ckpt(latest_checkpoint(unet_dir), report_path,
+                      log="curve_eval.log")
+        with open(report_path) as f:
+            r = json.load(f)
+        curve_path = os.path.join(out, "learning_curve.json")
+        curve = []
+        if os.path.exists(curve_path):
+            with open(curve_path) as f:
+                curve = json.load(f)
+        curve = [p for p in curve if p["step"] != step]
+        curve.append({"step": step,
+                      "ocr_text_match_rate": r.get("ocr_text_match_rate"),
+                      "ocr_id_match_mean": r["ocr_id_match_mean"],
+                      "region_mean_abs_delta_mean":
+                          r["region_mean_abs_delta_mean"],
+                      "ssim_background_mean": r["ssim_background_mean"]})
+        curve.sort(key=lambda p: p["step"])
+        with open(curve_path, "w") as f:
+            json.dump(curve, f, indent=2)
+        print(f"curve @ {step}: id_match {r['ocr_id_match_mean']:.3f} "
+              f"exact {r.get('ocr_text_match_rate')}", flush=True)
+
     # assemble the stage-2 "pretrained" dir: trained VAE + trained OCR
     # encoder (the frozen conditioning roles; reference loads its stage-1
     # output + hub TrOCR the same way, train_diffute_v1.py:630-632)
@@ -143,7 +194,11 @@ def main():
         # died at step 2048 after 32 lucky calls).  With remat: 6.18 GB temp,
         # ~12 GB peak including prefetch.
         seg = max(1, args.unet_segment_steps)
-        targets = list(range(seg, args.unet_steps, seg)) + [args.unet_steps]
+        targets = sorted(set(range(seg, args.unet_steps, seg))
+                         | ({args.unet_steps}
+                            | set(range(args.curve_every, args.unet_steps,
+                                        args.curve_every))
+                            if args.curve_every else {args.unet_steps}))
         for target in targets:
             # a segment whose work is already checkpointed exits immediately
             sh(py + ["diffute_tpu.train.run_unet", "--model_scale", "small",
@@ -157,25 +212,17 @@ def main():
                      "--seed", str(args.seed), "--output_dir", unet_dir]
                + spc + resume(unet_dir),
                os.path.join(out, "unet.log"))
+            if args.curve_every and (target % args.curve_every == 0
+                                     or target == args.unet_steps):
+                curve_point(target)
 
     if "eval" not in skip:
         # the final stage-2 checkpoint is a self-contained pipeline dir
-        # (unet/ unet_ema/ vae/ trocr/); add the verifier decoder
+        # (unet/ unet_ema/ vae/ trocr/); eval_ckpt adds the verifier decoder
         ck = latest_checkpoint(unet_dir)
-        dec_src = os.path.join(latest_checkpoint(ocr_dir), "trocr_decoder")
-        dec_dst = os.path.join(ck, "trocr_decoder")
-        if not os.path.isdir(dec_dst):
-            shutil.copytree(dec_src, dec_dst)
-        common = ["diffute_tpu.eval.run", "--model_scale", "small",
-                  "--pretrained", ck, "--tokenizer", "char",
-                  "--synthetic", str(args.eval_examples),
-                  "--max_examples", str(args.eval_examples),
-                  "--steps", str(args.eval_steps), "--seed", str(args.seed)]
-        sh(py + common + ["--out", os.path.join(out, "report_trained.json")],
-           os.path.join(out, "eval.log"))
-        sh(py + common + ["--randomize", "unet",
-                          "--out", os.path.join(out, "report_random.json")],
-           os.path.join(out, "eval.log"))
+        eval_ckpt(ck, os.path.join(out, "report_trained.json"))
+        eval_ckpt(ck, os.path.join(out, "report_random.json"),
+                  extra=["--randomize", "unet"])
 
     # summary
     if "eval" in skip:
