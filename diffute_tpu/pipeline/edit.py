@@ -75,6 +75,15 @@ def _cast_floating(tree, dtype):
         if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
 
+def _seed32(seed) -> np.uint32:
+    """Narrow a user seed to the uint32 the device program consumes.
+
+    ``PRNGKey`` historically folded the high word of >=2**32 seeds into the
+    key; masking keeps any Python int valid at the API boundary (np.int32
+    would raise OverflowError for seeds >= 2**31 under numpy 2.x)."""
+    return np.uint32(int(seed) & 0xFFFFFFFF)
+
+
 def _validate_box(box, image_hw) -> Tuple[int, int, int, int]:
     """Clip the region box to the image; reject degenerate boxes with a clear
     error (the reference crashes deep inside the crop policy instead)."""
@@ -239,6 +248,7 @@ class DiffUTEPipeline:
         unet_params,
         ctx, null_ctx, mask_lat, masked_latents, crop_latents, latents,
         key: jax.Array,
+        return_trajectory: bool = False,
     ) -> jax.Array:
         use_cfg = guidance_scale > 1.0
         if sampler == "ddpm":
@@ -263,54 +273,63 @@ class DiffUTEPipeline:
                        if blend else jnp.zeros((1,) * latents.ndim, latents.dtype))
 
         variables = {"params": unet_params}
-        B = latents.shape[0]
 
         # Cross-attention K/V over the (constant) TrOCR conditioning are
         # loop-invariant: project them ONCE here instead of inside every step.
         ctx_kv = self.unet.apply(variables, ctx,
                                  method=self.unet.cross_attention_kv)
-        null_kv = (self.unet.apply(variables, null_ctx,
-                                   method=self.unet.cross_attention_kv)
-                   if use_cfg else None)
+        if use_cfg:
+            # CFG runs the [cond; uncond] pair as ONE batch-2B UNet apply per
+            # step (the standard trick the reference's commented-out CFG also
+            # sketches via latent duplication, train_diffute_v1.py:915-917):
+            # one kernel launch sequence, better MXU utilization than two
+            # sequential B-sized applies.  Every per-sample op (conv, GN,
+            # attention) is batch-independent, so the halves equal the two
+            # separate applies (pinned by tests/test_composed_parity.py).
+            null_kv = self.unet.apply(variables, null_ctx,
+                                      method=self.unet.cross_attention_kv)
+            ctx_all = jnp.concatenate([ctx, null_ctx], axis=0)
+            kv_all = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), ctx_kv, null_kv)
+            mask_all = jnp.concatenate([mask_lat, mask_lat], axis=0)
+            masked_all = jnp.concatenate([masked_latents, masked_latents],
+                                         axis=0)
+        else:
+            ctx_all, kv_all = ctx, ctx_kv
+            mask_all, masked_all = mask_lat, masked_latents
 
-        def temb_of(t):
-            return self.unet.apply(variables, t, B, method=self.unet.time_embed)
+        def temb_of(t, n):
+            return self.unet.apply(variables, t, n, method=self.unet.time_embed)
 
-        def unet_full(latents, t, step_ctx, step_kv):
+        def unet_full(x, t):
             """Full forward; also returns the encoder-feature cache."""
-            temb = temb_of(t)
-            x_in = jnp.concatenate([latents, mask_lat, masked_latents], axis=-1)
-            bottom, skips = self.unet.apply(variables, x_in, temb, step_ctx,
-                                            step_kv, method=self.unet.encode)
-            eps = self.unet.apply(variables, bottom, skips, temb, step_ctx,
-                                  step_kv, method=self.unet.decode)
+            temb = temb_of(t, x.shape[0])
+            x_in = jnp.concatenate([x, mask_all, masked_all], axis=-1)
+            bottom, skips = self.unet.apply(variables, x_in, temb, ctx_all,
+                                            kv_all, method=self.unet.encode)
+            eps = self.unet.apply(variables, bottom, skips, temb, ctx_all,
+                                  kv_all, method=self.unet.decode)
             return eps, (bottom, tuple(skips))
 
-        def unet_reuse(cache, t, step_ctx, step_kv):
+        def unet_reuse(cache, t):
             """Decoder-only forward over propagated encoder features
             (Faster Diffusion, arXiv:2312.09608)."""
             bottom, skips = cache
-            temb = temb_of(t)
+            temb = temb_of(t, bottom.shape[0])
             return self.unet.apply(variables, bottom, list(skips), temb,
-                                   step_ctx, step_kv, method=self.unet.decode)
+                                   ctx_all, kv_all, method=self.unet.decode)
 
         def predict(latents, t, cache):
             """-> (eps, new_cache); cache=None forces a full forward."""
-            if use_cfg:
-                if cache is None:
-                    eps_c, cache_c = unet_full(latents, t, ctx, ctx_kv)
-                    eps_u, cache_u = unet_full(latents, t, null_ctx, null_kv)
-                    cache = (cache_c, cache_u)
-                else:
-                    cache_c, cache_u = cache
-                    eps_c = unet_reuse(cache_c, t, ctx, ctx_kv)
-                    eps_u = unet_reuse(cache_u, t, null_ctx, null_kv)
-                eps = eps_u + guidance_scale * (eps_c - eps_u)
+            x = jnp.concatenate([latents, latents], axis=0) if use_cfg \
+                else latents
+            if cache is None:
+                eps, cache = unet_full(x, t)
             else:
-                if cache is None:
-                    eps, cache = unet_full(latents, t, ctx, ctx_kv)
-                else:
-                    eps = unet_reuse(cache, t, ctx, ctx_kv)
+                eps = unet_reuse(cache, t)
+            if use_cfg:
+                eps_c, eps_u = jnp.split(eps, 2, axis=0)
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
             return eps, cache
 
         def advance(latents, aux, eps, t, prev_t, noise_t):
@@ -346,26 +365,39 @@ class DiffUTEPipeline:
             latents, aux = carry
             ts_g, prevs_g, noise_g = scan_x  # leading dim k
             cache = None
+            lat_steps = []
             for j in range(k):  # statically unrolled
                 eps, cache = predict(latents, ts_g[j],
                                      cache if j > 0 else None)
                 latents, aux = advance(latents, aux, eps, ts_g[j],
                                        prevs_g[j], noise_g[j])
-            return (latents, aux), None
+                if return_trajectory:
+                    lat_steps.append(latents)
+            ys = jnp.stack(lat_steps) if return_trajectory else None
+            return (latents, aux), ys
 
         def group(x, n, size):
             return x[: n * size].reshape((n, size) + x.shape[1:])
 
         aux = aux0
+        traj = []
         if n_super:
-            (latents, aux), _ = jax.lax.scan(
+            (latents, aux), ys = jax.lax.scan(
                 super_body, (latents, aux0),
                 (group(ts_arr, n_super, k), group(prev_arr, n_super, k),
                  group(step_noise, n_super, k)))
+            if return_trajectory:
+                traj.append(ys.reshape((n_super * k,) + latents.shape))
         for j in range(num_steps - rem, num_steps):  # remainder: full steps
             eps, _ = predict(latents, ts_arr[j], None)
             latents, aux = advance(latents, aux, eps, ts_arr[j], prev_arr[j],
                                    step_noise[j])
+            if return_trajectory:
+                traj.append(latents[None])
+        if return_trajectory:
+            # (num_steps, B, r, r, C): the latent after every sampler step —
+            # the per-step parity surface (tests/test_composed_parity.py)
+            return latents, jnp.concatenate(traj, axis=0)
         return latents
 
     def _device_decode(self, vae_params, latents: jax.Array) -> jax.Array:
@@ -494,7 +526,7 @@ class DiffUTEPipeline:
 
         t0 = time.perf_counter()
         prepped = jax.device_get(prep(self.params, *inputs, null384,
-                                      np.int32(seed)))
+                                      _seed32(seed)))
         stats["prep_s"] = time.perf_counter() - t0
         *prepped, k_loop = (jnp.asarray(x) for x in prepped)
         t0 = time.perf_counter()
@@ -606,6 +638,78 @@ class DiffUTEPipeline:
                            r["location"])
                 for img, e, r in zip(images, edited, prepped)]
 
+    def edit_stream(
+        self,
+        items,                         # iterable of (image, box, text)
+        num_inference_steps: Optional[int] = None,
+        seed: Optional[int] = None,
+        edit_config: Optional[EditConfig] = None,
+        rng: Optional[np.random.Generator] = None,
+        depth: int = 2,
+    ):
+        """Pipelined serving over a stream of independent edits: keep up to
+        ``depth`` device programs in flight so host work (region prep, glyph
+        raster, paste-back) and the per-edit fixed cost (input upload,
+        prep/decode dispatch boundaries) overlap the denoise loop of the
+        edits already running.  Yields edited images in submission order.
+
+        jit dispatch is asynchronous — each submitted prep->loop->decode
+        chain queues on the device immediately and only the final
+        ``device_get`` blocks — so with depth >= 2 the device starts edit
+        N+1's program while the host is still fetching/pasting edit N:
+        steady-state throughput approaches 1/loop_s instead of
+        1/(fixed + loop_s).  Outputs are bit-identical to sequential
+        :meth:`edit` calls (same program, same per-edit seed; pinned by
+        tests/test_pipeline_stream.py).
+        """
+        ec = edit_config or self.config.edit
+        steps = num_inference_steps or ec.num_inference_steps
+        seed = ec.seed if seed is None else seed
+        res = ec.resolution
+        use_cfg = ec.guidance_scale > 1.0
+        blend = ec.masked_latent_blend
+        depth = max(1, depth)
+
+        fn = self._get_compiled(steps, ec.sampler, ec.guidance_scale, blend,
+                                ec.encoder_reuse_interval)
+        dummy = np.zeros((1, 1, 1, 3), np.uint8)
+        null384 = jnp.asarray(
+            trocr_preprocess_host([render_glyph("", self.config.glyph)],
+                                  self.config.trocr)
+            if use_cfg else dummy)
+
+        def submit(item):
+            image, box, text = item
+            image = np.asarray(image, dtype=np.uint8)
+            region, _ = self._prepare_region(
+                image, _validate_box(box, image.shape[:2]), text, res, rng)
+            glyph384 = trocr_preprocess_host([region["glyph"]],
+                                             self.config.trocr)
+            inputs = (
+                jnp.asarray(region["crop512"][None]) if blend else dummy,
+                jnp.asarray(region["mask512"][None]),
+                jnp.asarray(region["masked512"][None]),
+                jnp.asarray(glyph384),
+            )
+            out = fn(self.params, *inputs, null384, _seed32(seed))
+            return image, region, out
+
+        def finish(entry):
+            image, region, out = entry
+            edited = np.asarray(jax.device_get(out))[0]
+            return paste_back(image, edited, region["x_s"], region["y_s"],
+                              region["crop_scale"], region["location"])
+
+        from collections import deque
+
+        inflight = deque()
+        for item in items:
+            inflight.append(submit(item))
+            if len(inflight) >= depth + 1:
+                yield finish(inflight.popleft())
+        while inflight:
+            yield finish(inflight.popleft())
+
     # ------------------------------------------------------------------
     # Host helpers
     # ------------------------------------------------------------------
@@ -672,7 +776,7 @@ class DiffUTEPipeline:
         else:
             inputs = tuple(jnp.asarray(x) for x in inputs)
         out = fn(self.params, *inputs, jnp.asarray(null384),
-                 np.int32(seed))
+                 _seed32(seed))
         return np.asarray(jax.device_get(out))
 
 

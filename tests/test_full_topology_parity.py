@@ -206,6 +206,7 @@ class TUNet(tnn.Module):
         temb_dim = chans[0] * 4
         ctx = cfg.cross_attention_dim
 
+        groups = cfg.norm_num_groups
         self.time_embedding = TTimestepEmbedding(chans[0], temb_dim)
         self.conv_in = tnn.Conv2d(cfg.in_channels, chans[0], 3, padding=1)
 
@@ -216,11 +217,11 @@ class TUNet(tnn.Module):
         for i, ch in enumerate(chans):
             resnets, attns = [], []
             for _ in range(cfg.layers_per_block):
-                resnets.append(TResnet(prev, ch, temb_dim))
+                resnets.append(TResnet(prev, ch, temb_dim, groups))
                 prev = ch
                 if cfg.down_block_has_attn[i]:
                     attns.append(TTransformer2D(
-                        ch, cfg.num_attention_heads[i], ctx))
+                        ch, cfg.num_attention_heads[i], ctx, groups))
                 skip_ch.append(ch)
             lists = {"resnets": resnets}
             if attns:
@@ -232,8 +233,10 @@ class TUNet(tnn.Module):
 
         mid = chans[-1]
         self.mid_block = _Blk(
-            resnets=[TResnet(mid, mid, temb_dim), TResnet(mid, mid, temb_dim)],
-            attentions=[TTransformer2D(mid, cfg.num_attention_heads[-1], ctx)])
+            resnets=[TResnet(mid, mid, temb_dim, groups),
+                     TResnet(mid, mid, temb_dim, groups)],
+            attentions=[TTransformer2D(mid, cfg.num_attention_heads[-1], ctx,
+                                       groups)])
 
         self.up_blocks = tnn.ModuleList()
         prev = mid
@@ -241,11 +244,11 @@ class TUNet(tnn.Module):
             resnets, attns = [], []
             for _ in range(cfg.layers_per_block + 1):
                 cin = prev + skip_ch.pop()
-                resnets.append(TResnet(cin, ch, temb_dim))
+                resnets.append(TResnet(cin, ch, temb_dim, groups))
                 prev = ch
                 if cfg.up_block_has_attn[u]:
                     attns.append(TTransformer2D(
-                        ch, cfg.num_attention_heads[i], ctx))
+                        ch, cfg.num_attention_heads[i], ctx, groups))
             lists = {"resnets": resnets}
             if attns:
                 lists["attentions"] = attns
