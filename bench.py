@@ -78,6 +78,11 @@ def main() -> None:
     p.add_argument("--reuse", type=int, default=1,
                    help="encoder propagation interval (Faster Diffusion); "
                         "1 = exact sampling")
+    p.add_argument("--pipelined", type=int, default=0, metavar="DEPTH",
+                   help="stream --iters edits through edit_stream with this "
+                        "many programs in flight (double-buffered serving; "
+                        "0 = off).  Outputs are bit-identical to edit(); "
+                        "throughput is measured over the whole stream")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (tiny smoke fallback)")
     p.add_argument("--probe-timeout", type=float, default=150.0)
@@ -160,21 +165,47 @@ def main() -> None:
     for i in range(args.warmup):
         run_once("BENCHMARK")
 
-    dts = []
-    for i in range(args.iters):
+    if args.pipelined:
+        # pipelined serving: ONE stream of --iters edits with `depth`
+        # programs in flight; the metric is stream throughput (total edits /
+        # total wall time), directly comparable to the sequential headline
+        items = [(img, box, f"BENCH {i}") for i in range(args.iters)]
+        # warm the stream path (identical programs, but the first call pays
+        # compile-cache lookups)
+        list(pipe.edit_stream(items[:1], num_inference_steps=args.steps,
+                              depth=args.pipelined))
+        n = 0
+        dts = []
         t0 = time.perf_counter()
-        run_once(f"BENCH {i}")
-        dts.append(time.perf_counter() - t0)
-    # best-of-N for the headline (the tunnel adds variable per-call latency);
-    # the full per-iteration list + p50 make relay noise vs real regression
-    # distinguishable from the artifact alone (VERDICT r2 weak #1)
-    dt = min(dts)
-    p50 = sorted(dts)[len(dts) // 2]
+        last = t0
+        for _ in pipe.edit_stream(items, num_inference_steps=args.steps,
+                                  depth=args.pipelined):
+            now = time.perf_counter()
+            dts.append(now - last)
+            last = now
+            n += 1
+        total = time.perf_counter() - t0
+        dt = total / n
+        p50 = sorted(dts)[len(dts) // 2]
+    else:
+        dts = []
+        for i in range(args.iters):
+            t0 = time.perf_counter()
+            run_once(f"BENCH {i}")
+            dts.append(time.perf_counter() - t0)
+        # best-of-N for the headline (the tunnel adds variable per-call
+        # latency); the full per-iteration list + p50 make relay noise vs
+        # real regression distinguishable from the artifact alone
+        # (VERDICT r2 weak #1)
+        dt = min(dts)
+        p50 = sorted(dts)[len(dts) // 2]
 
     value = args.batch / dt
     reuse_tag = f", encoder-reuse k={args.reuse}" if args.reuse > 1 else ""
     reuse_tag += ", int8-weights" if args.int8 else ""
     reuse_tag += ", fused-conv" if args.fused_conv else ""
+    reuse_tag += (f", pipelined depth={args.pipelined}" if args.pipelined
+                  else "")
     batch_tag = f", batch {args.batch}" if args.batch > 1 else ""
     tiny_tag = ", TINY-CPU-FALLBACK" if (error or args.tiny) and backend == "cpu" else ""
     out = {

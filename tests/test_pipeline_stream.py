@@ -1,0 +1,44 @@
+"""Pipelined serving (edit_stream): bit-identical to sequential edit()."""
+
+import numpy as np
+import pytest
+
+from diffute_tpu.config import tiny_test_config
+from diffute_tpu.pipeline import DiffUTEPipeline
+from diffute_tpu.utils import init_pipeline_params
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = tiny_test_config()
+    return DiffUTEPipeline(cfg, init_pipeline_params(cfg, seed=0))
+
+
+def _items(n):
+    rng = np.random.RandomState(3)
+    items = []
+    for i in range(n):
+        img = rng.randint(0, 256, (48, 64, 3)).astype(np.uint8)
+        items.append((img, (10 + i, 12, 30 + i, 24), f"t{i}"))
+    return items
+
+
+def test_edit_stream_matches_sequential(pipe):
+    items = _items(3)
+    seq = [pipe.edit(img, box, text, num_inference_steps=4)[0]
+           for img, box, text in items]
+    streamed = list(pipe.edit_stream(items, num_inference_steps=4, depth=2))
+    assert len(streamed) == len(seq)
+    for a, b in zip(streamed, seq):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_edit_stream_depth_one_and_empty(pipe):
+    # depth=1 (no overlap) must also be identical; empty stream yields nothing
+    items = _items(2)
+    seq = [pipe.edit(img, box, text, num_inference_steps=4)[0]
+           for img, box, text in items]
+    streamed = list(pipe.edit_stream(items, num_inference_steps=4, depth=1))
+    for a, b in zip(streamed, seq):
+        np.testing.assert_array_equal(a, b)
+    assert list(pipe.edit_stream([], num_inference_steps=4)) == []
