@@ -193,6 +193,14 @@ def main():
         results[key] = fn()
         results[key]["wall_including_compile_s"] = round(
             time.perf_counter() - t0, 1)
+        # session metadata: relay-day variance is real (BASELINE.md), so
+        # every number carries when and where it was measured — the
+        # canonical-records table cites these stamps
+        import datetime
+
+        results[key]["measured_at"] = datetime.datetime.now(
+            datetime.timezone.utc).strftime("%Y-%m-%dT%H:%MZ")
+        results[key]["backend"] = jax.default_backend()
         with open(RESULTS, "w") as f:
             json.dump(results, f, indent=2)
         print(f"[{key}] {results[key]}", flush=True)

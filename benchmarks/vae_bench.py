@@ -50,9 +50,12 @@ def main() -> None:
     img = jnp.zeros((1, res, res, 3), dtype)
     z = jnp.zeros((1, lat, lat, 4), dtype)
     params = jax.jit(vae.init)(rng, img, rng)["params"]
-    params = jax.device_put(jax.tree_util.tree_map(
+    # one jitted program for the whole-tree cast: an un-jitted tree_map
+    # casts ~250 leaves EAGERLY, and every eager op is a network round-trip
+    # on the relay backend (ADVICE r3)
+    params = jax.jit(lambda p: jax.tree_util.tree_map(
         lambda x: x.astype(dtype)
-        if jnp.issubdtype(x.dtype, jnp.floating) else x, params))
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, p))(params)
 
     def dec_step(zc, p):
         out = vae.apply({"params": p}, zc, method=vae.decode)

@@ -15,7 +15,7 @@ tests/test_trocr_decoder.py.
 
 Two generation paths, both single jit'd ``lax.scan`` programs:
 - :func:`greedy_decode` — re-runs the causal decoder over the fixed-length
-  buffer每 step (O(L^2), no cache state; simplest correct reference).
+  buffer each step (O(L^2), no cache state; simplest correct reference).
 - :func:`greedy_decode_cached` — per-layer self-attention KV caches updated
   with one-token decoder steps and precomputed cross-attention K/V (O(L));
   verified token-identical to the uncached path.
