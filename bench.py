@@ -114,6 +114,10 @@ def main() -> None:
             pass
     jax.config.update("jax_default_prng_impl", "rbg")
 
+    from diffute_tpu.utils.platform import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
     from diffute_tpu.config import (
         DiffUTEConfig, EditConfig, TrOCRConfig, UNetConfig, VAEConfig,
         tiny_test_config,

@@ -27,6 +27,10 @@ import numpy as np
 
 jax.config.update("jax_default_prng_impl", "rbg")
 
+from diffute_tpu.utils.platform import enable_persistent_compile_cache  # noqa: E402
+
+enable_persistent_compile_cache()
+
 from diffute_tpu.config import (  # noqa: E402
     DiffUTEConfig, EditConfig, TrOCRConfig, UNetConfig, VAEConfig,
 )

@@ -123,6 +123,14 @@ class DevicePrefetcher:
                 yield item
         finally:
             stop.set()
+            # Drain before returning control: when the consumer exits early
+            # (resume-at-max-steps breaks on the first batch) the worker can
+            # still be inside shard_batch's h2d transfer, and tearing the
+            # process down around an in-flight transfer aborts the client
+            # (`terminate called without an active exception`, observed on
+            # the relay backend).  The worker checks `stop` between batches,
+            # so this join only waits out the current transfer.
+            t.join(timeout=60.0)
 
 
 def shard_batch(mesh: Mesh, batch: Any, batch_axis: int = 0) -> Any:

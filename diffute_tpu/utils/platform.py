@@ -22,3 +22,26 @@ def apply_platform_override(env_var: str = "DIFFUTE_PLATFORM") -> None:
         import jax
 
         jax.config.update("jax_platforms", value)
+    enable_persistent_compile_cache()
+
+
+def enable_persistent_compile_cache(
+        env_var: str = "DIFFUTE_COMPILE_CACHE") -> None:
+    """Point JAX's persistent compilation cache at a shared directory.
+
+    Full-size compiles through the tunneled remote-compile service take
+    4-15 minutes; every CLI/bench process used to pay them again.  The
+    persistent cache keys serialized executables by HLO so repeat
+    invocations (bench queues, segmented training relaunches, eval loops)
+    skip the service entirely.  Opt out with DIFFUTE_COMPILE_CACHE=off.
+    """
+    path = os.environ.get(env_var, "/tmp/diffute_jax_cache")
+    if path.lower() in ("off", "0", "none", ""):
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass  # older jax or a backend that cannot serialize executables

@@ -73,3 +73,28 @@ def test_batch_matches_individual_shapes(pipe):
     outs = pipe.edit_batch([(img, (30, 40, 120, 70), "x")],
                            num_inference_steps=2)
     np.testing.assert_array_equal(a, outs[0])
+
+
+def test_batched_cfg_slots_independent():
+    # CFG stacks [cond; uncond] into one batch-2B apply (pipeline/edit.py
+    # predict()); a stacking/interleave mistake would leak slot 1's
+    # conditioning into slot 0.  Slot 0's output must depend only on slot 0
+    # (the eps ORDER of the stack is pinned by tests/test_composed_parity.py).
+    import dataclasses
+    from diffute_tpu.config import tiny_test_config
+    from diffute_tpu.utils import init_pipeline_params
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(cfg, edit=dataclasses.replace(
+        cfg.edit, guidance_scale=2.5))
+    pipe = DiffUTEPipeline(cfg, init_pipeline_params(cfg))
+    rng = np.random.RandomState(5)
+    img_a = rng.randint(0, 255, (150, 200, 3)).astype(np.uint8)
+    img_b = rng.randint(0, 255, (150, 200, 3)).astype(np.uint8)
+    box = (30, 40, 120, 70)
+    out_x = pipe.edit_batch([(img_a, box, "aa"), (img_b, box, "bb")],
+                            num_inference_steps=3)
+    out_y = pipe.edit_batch([(img_a, box, "aa"), (img_b, box, "zz")],
+                            num_inference_steps=3)
+    np.testing.assert_array_equal(out_x[0], out_y[0])
+    assert (out_x[1] != out_y[1]).any()  # slot 1 did change with its text
