@@ -36,6 +36,7 @@ def _export_layout(path, cfg, seed):
         trocr_config=vit_config_json(cfg.trocr))
 
 
+@pytest.mark.slow
 def test_acceptance_roundtrip_and_rejection(tmp_path):
     cfg = tiny_test_config()
     layout = str(tmp_path / "layout")

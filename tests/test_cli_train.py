@@ -26,6 +26,7 @@ def test_run_vae_smoke(tmp_path, monkeypatch, capsys):
                                        "diffusion_pytorch_model.safetensors"))
 
 
+@pytest.mark.slow
 def test_run_unet_smoke_with_resume(tmp_path, monkeypatch, capsys):
     from diffute_tpu.train.run_unet import main
 
@@ -51,6 +52,7 @@ def test_run_unet_smoke_with_resume(tmp_path, monkeypatch, capsys):
     assert "resumed from" in second and "checkpoint-2" in second
 
 
+@pytest.mark.slow
 def test_run_unet_with_manifest(tmp_path, monkeypatch, capsys):
     from diffute_tpu.train.run_unet import main
 

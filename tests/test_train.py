@@ -101,6 +101,7 @@ def _device0_resident_bytes(tree):
     return total
 
 
+@pytest.mark.slow
 def test_unet_trainer_zero1_sharded_opt_state(cfg, params):
     tc = dataclasses.replace(cfg.train, shard_optimizer_states=True)
     c = dataclasses.replace(cfg, train=tc)
@@ -309,6 +310,7 @@ def test_crash_leftover_checkpoint_is_not_latest(tmp_path, cfg, params):
     assert int(restored.step) == 0  # same state saved twice in this test
 
 
+@pytest.mark.slow
 def test_multi_step_scan_matches_sequential(cfg, params):
     """steps_per_call=K in one lax.scan executable must produce the same
     final params as K sequential step() calls with the same batches/keys."""
