@@ -98,6 +98,12 @@ def main() -> None:
     # jax.devices() hang forever, and the driver needs a parseable JSON line
     # either way (VERDICT r1 weak #2).
     error = None
+    if os.environ.get("DIFFUTE_PLATFORM") == "cpu":
+        # honor the same override every package CLI applies
+        # (utils/platform.py) — without this, `DIFFUTE_PLATFORM=cpu
+        # python bench.py` still lands on the shared TPU and can OOM a
+        # concurrent training job (CLAUDE.md environment gotchas)
+        args.cpu = True
     if args.cpu:
         backend = "cpu"
     else:
@@ -226,9 +232,17 @@ def main() -> None:
         "unit": "images/sec/chip",
         "vs_baseline": round(value / A100_BASELINE_IMG_PER_S, 3),
         "backend": backend,
-        "iters_s": [round(t, 4) for t in dts],
         "p50_img_per_s": round(args.batch / p50, 4),
     }
+    if args.pipelined and args.batch == 1:
+        # inter-arrival gaps, NOT per-iteration latencies: the first entry
+        # is the pipeline fill (prep+full loop), the rest are steady-state;
+        # a different key keeps them from being read as sequential iters_s
+        # in the relay-noise-vs-regression analysis BASELINE.md does
+        out["fill_s"] = round(dts[0], 4)
+        out["gaps_s"] = [round(t, 4) for t in dts[1:]]
+    else:
+        out["iters_s"] = [round(t, 4) for t in dts]
     if not (args.no_profile or args.batch > 1):
         # one synced per-stage attribution pass (stage sum pays host
         # round-trips the chained path does not; use it to ATTRIBUTE, the

@@ -148,13 +148,20 @@ def main():
                  "--out", out_path] + list(extra),
            os.path.join(out, log))
 
-    def curve_point(step):
+    def curve_point(_target):
         """Eval the newest checkpoint and append (step -> metrics) to
-        learning_curve.json; skips work a killed+resumed chain already did."""
+        learning_curve.json; skips work a killed+resumed chain already did.
+
+        The point is recorded at the checkpoint's ACTUAL step, parsed from
+        its directory name — not the segment target: a killed+resumed chain
+        can reach this with the newest checkpoint past the target (the true
+        target checkpoint already rotated away), and labeling that with the
+        target step would plot a wrong learning-curve point."""
+        ck = latest_checkpoint(unet_dir)
+        step = int(os.path.basename(ck.rstrip("/")).rsplit("-", 1)[1])
         report_path = os.path.join(out, f"report_step{step}.json")
         if not os.path.exists(report_path):
-            eval_ckpt(latest_checkpoint(unet_dir), report_path,
-                      log="curve_eval.log")
+            eval_ckpt(ck, report_path, log="curve_eval.log")
         with open(report_path) as f:
             r = json.load(f)
         curve_path = os.path.join(out, "learning_curve.json")

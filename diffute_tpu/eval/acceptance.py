@@ -7,8 +7,10 @@ outputs, per-step latent parity) can only run on the day real weights and
 reference-side outputs are available.  This script chains every check so
 that day is one command:
 
-  1. layout      — the diffusers-layout dir loads (vae/ unet/ [unet_ema/]
-                   [trocr/]), reference loading semantics
+  1. layout      — the diffusers-layout dir resolves REAL weight files for
+                   all three components (unet[_ema]/ vae/ trocr/ safetensors;
+                   reference loading semantics) — a bare subdir that the
+                   loader would random-initialize fails here
   2. param_pins  — imported trees match the pinned SD2-inpaint counts
                    (UNet 865,925,124 / VAE 83,653,863 at --model_scale full)
   3. goldens     — per-module forwards (TrOCR ctx, VAE encode/decode,
@@ -172,17 +174,22 @@ def run_acceptance(args) -> dict:
         print(f"[{status:>7}] {name}"
               + (f" — {details}" if details else ""), flush=True)
 
-    # 1. layout loads
+    # 1. layout loads — resolve the weight FILES the loader will read, not
+    # just subdirectories: load_diffusers_layout silently random-initializes
+    # any component whose safetensors file is absent, and the param pins
+    # then pass by construction (they count topology, not values), so a
+    # bare/interrupted export must fail HERE, not exit 0 "accepted".
+    from diffute_tpu.serve.loading import resolve_diffusers_layout
+
     cfg = _config(args.model_scale)
-    missing = [d for d in ("vae", "unet")
-               if not os.path.isdir(os.path.join(args.pretrained, d))
-               and not os.path.isdir(os.path.join(args.pretrained,
-                                                  d + "_ema"))]
+    sources = resolve_diffusers_layout(args.pretrained)
+    missing = [k for k, v in sources.items() if not v]
     if missing:
-        stage("layout", "fail", missing_subdirs=missing)
+        stage("layout", "fail", missing_weight_files=missing,
+              resolved=sources)
         return report
     params = load_diffusers_layout(args.pretrained, cfg)
-    stage("layout", "pass")
+    stage("layout", "pass", resolved=sources)
 
     # 2. param pins
     counts = {k: count_params(params[k]) for k in ("unet", "vae", "trocr")}
@@ -222,24 +229,42 @@ def run_acceptance(args) -> dict:
     if os.path.exists(man_path):
         with open(man_path) as f:
             man = json.load(f)
+        if man.get("model_scale", args.model_scale) != args.model_scale:
+            # comparing across scales would crash mid-broadcast later;
+            # fail cleanly with the mismatch on the report instead
+            stage("manifest", "fail", bundle_scale=man["model_scale"],
+                  run_scale=args.model_scale,
+                  note="re-run with --model_scale matching the bundle")
+            return report
         for k in ("steps", "sampler", "seed", "scene_seed", "text"):
             if k in man:
                 setattr(args, k, man[k])
     out = _compute_outputs(cfg, params, args)
 
-    # 3. per-module goldens (fp32 cross-stack tolerance)
+    # 3. per-module goldens (fp32 cross-stack tolerance).  An absent file in
+    # a provided bundle is a spec violation (make_reference always writes
+    # all five): partial bundles FAIL rather than pass on whatever remains;
+    # a bundle with none of them (e.g. filenames mismatched) is "skipped",
+    # and the vacuity guard below refuses to accept on that.
     ok, details = True, {}
+    compared = 0
     for key, fname in GOLDEN_FILES.items():
         path = os.path.join(bundle, fname)
         if not os.path.exists(path):
             details[key] = "absent"
             continue
+        compared += 1
         ref = np.load(path)
         scale = max(1.0, float(np.abs(ref).max()))
         err = float(np.abs(out[key] - ref).max())
         details[key] = {"max_err": err, "scale": scale}
         ok &= err <= 2e-3 * scale
-    stage("goldens", "pass" if ok else "fail", **details)
+    if compared == 0:
+        stage("goldens", "skipped", note="no golden arrays in bundle")
+    elif compared < len(GOLDEN_FILES):
+        stage("goldens", "fail", **details)
+    else:
+        stage("goldens", "pass" if ok else "fail", **details)
 
     # 4. per-step latent parity
     lat_path = os.path.join(bundle, LATENTS_FILE)
@@ -270,6 +295,15 @@ def run_acceptance(args) -> dict:
               ssim=s, threshold=args.ssim_threshold, max_lsb=lsb)
     else:
         stage("image", "skipped", note=f"{IMAGE_FILE} absent")
+
+    # vacuity guard: the operator pointed at a bundle, so at least one
+    # numeric comparison must actually have run for "accepted" to mean
+    # anything — a manifest-only directory must not certify the weights
+    if all(stages[s]["status"] == "skipped"
+           for s in ("goldens", "latents", "image")):
+        stage("bundle", "fail",
+              note="--reference_outputs contains no comparable arrays "
+                   "(expected the make_reference file set)")
 
     return report
 

@@ -549,7 +549,11 @@ class DiffUTEPipeline:
         """XLA HLO-cost-analysis FLOPs per device stage for a batch-1 edit
         (best-effort: None when the backend's lowering can't report it)."""
         prep, loop, decode = self._stages[sig]
-        seed0 = jnp.int32(0)
+        # must match the runtime seed dtype (_seed32 -> uint32): a different
+        # scalar dtype is a different jit signature, and on the axon backend
+        # flops_of falls through to lowered.compile() — a signature miss
+        # would pay a fresh remote compile instead of hitting the cache
+        seed0 = _seed32(0)
         try:
             def flops_of(lowered):
                 ca = lowered.cost_analysis()
@@ -705,7 +709,11 @@ class DiffUTEPipeline:
         inflight = deque()
         for item in items:
             inflight.append(submit(item))
-            if len(inflight) >= depth + 1:
+            # drain once `depth` programs are submitted: at most `depth`
+            # in flight, so depth=1 really is sequential (callers use it to
+            # bound device-side buffering on the 16 GB chip) and depth=2 is
+            # the documented one-ahead overlap
+            if len(inflight) >= depth:
                 yield finish(inflight.popleft())
         while inflight:
             yield finish(inflight.popleft())

@@ -37,19 +37,32 @@ def _find(path: str, sub: str, names) -> str | None:
     return None
 
 
+def resolve_diffusers_layout(path: str) -> Dict[str, str | None]:
+    """Map component -> weight file that :func:`load_diffusers_layout` will
+    actually read (None when the component would be random-initialized).
+    A bare ``vae/`` directory without the safetensors file resolves to None —
+    callers that must certify real weights (eval/acceptance.py) check these
+    paths rather than ``os.path.isdir``."""
+    return {
+        "unet": (_find(path, "unet_ema",
+                       ["diffusion_pytorch_model.safetensors"]) or
+                 _find(path, "unet", ["diffusion_pytorch_model.safetensors"])),
+        "vae": _find(path, "vae", ["diffusion_pytorch_model.safetensors"]),
+        "trocr": _find(path, "trocr", ["model.safetensors"]),
+    }
+
+
 def load_diffusers_layout(path: str, config: DiffUTEConfig) -> Dict[str, dict]:
     params: Dict[str, dict] = {}
 
-    unet_f = (_find(path, "unet_ema", ["diffusion_pytorch_model.safetensors"]) or
-              _find(path, "unet", ["diffusion_pytorch_model.safetensors"]))
-    if unet_f:
-        params["unet"] = import_unet_state_dict(load_safetensors(unet_f))
-    vae_f = _find(path, "vae", ["diffusion_pytorch_model.safetensors"])
-    if vae_f:
-        params["vae"] = import_vae_state_dict(load_safetensors(vae_f))
-    trocr_f = _find(path, "trocr", ["model.safetensors"])
-    if trocr_f:
-        params["trocr"] = import_trocr_state_dict(load_safetensors(trocr_f))
+    files = resolve_diffusers_layout(path)
+    if files["unet"]:
+        params["unet"] = import_unet_state_dict(load_safetensors(files["unet"]))
+    if files["vae"]:
+        params["vae"] = import_vae_state_dict(load_safetensors(files["vae"]))
+    if files["trocr"]:
+        params["trocr"] = import_trocr_state_dict(
+            load_safetensors(files["trocr"]))
 
     # random-init only the components the checkpoint does not provide
     k = jax.random.PRNGKey(0)

@@ -86,3 +86,57 @@ def test_acceptance_without_bundle_certifies_layout_only(tmp_path):
         report = json.load(f)
     assert report["accepted"]
     assert report["stages"]["goldens"]["status"] == "skipped"
+
+
+def test_acceptance_rejects_unloadable_layout(tmp_path):
+    # a component subdir WITHOUT its safetensors file would be silently
+    # random-initialized by the loader (and the pins pass by construction,
+    # they count topology) — the layout stage must fail on the missing FILE
+    cfg = tiny_test_config()
+    layout = str(tmp_path / "layout")
+    _export_layout(layout, cfg, seed=5)
+    os.remove(os.path.join(layout, "vae",
+                           "diffusion_pytorch_model.safetensors"))
+    report_path = str(tmp_path / "report.json")
+    rc = acceptance_main(["--pretrained", layout, "--model_scale", "tiny",
+                          "--out", report_path])
+    assert rc == 1
+    with open(report_path) as f:
+        report = json.load(f)
+    assert not report["accepted"]
+    assert report["stages"]["layout"]["status"] == "fail"
+    assert report["stages"]["layout"]["missing_weight_files"] == ["vae"]
+
+
+def test_acceptance_rejects_vacuous_and_mismatched_bundle(tmp_path):
+    cfg = tiny_test_config()
+    layout = str(tmp_path / "layout")
+    _export_layout(layout, cfg, seed=5)
+
+    # bundle with a manifest but NO comparable arrays: every numeric stage
+    # is skipped, and the vacuity guard must refuse to certify
+    bundle = tmp_path / "empty_bundle"
+    bundle.mkdir()
+    with open(bundle / "manifest.json", "w") as f:
+        json.dump({"model_scale": "tiny", "steps": 4}, f)
+    report_path = str(tmp_path / "report.json")
+    rc = acceptance_main(["--pretrained", layout, "--model_scale", "tiny",
+                          "--reference_outputs", str(bundle),
+                          "--out", report_path])
+    assert rc == 1
+    with open(report_path) as f:
+        report = json.load(f)
+    assert not report["accepted"]
+    assert report["stages"]["bundle"]["status"] == "fail"
+
+    # bundle made at a different model scale: clean manifest-stage fail,
+    # not a broadcast crash mid-comparison
+    with open(bundle / "manifest.json", "w") as f:
+        json.dump({"model_scale": "small"}, f)
+    rc = acceptance_main(["--pretrained", layout, "--model_scale", "tiny",
+                          "--reference_outputs", str(bundle),
+                          "--out", report_path])
+    assert rc == 1
+    with open(report_path) as f:
+        report = json.load(f)
+    assert report["stages"]["manifest"]["status"] == "fail"
