@@ -33,6 +33,22 @@ def test_edit_stream_matches_sequential(pipe):
         np.testing.assert_array_equal(a, b)
 
 
+def test_edit_stream_bounds_inflight_to_depth(pipe):
+    # depth=N must keep at most N programs in flight: the first result is
+    # yielded after exactly N items are consumed, not N+1 (the pre-round-4
+    # off-by-one) — callers use depth to bound device-side buffering
+    pulled = []
+
+    def lazy():
+        for i, item in enumerate(_items(4)):
+            pulled.append(i)
+            yield item
+
+    stream = pipe.edit_stream(lazy(), num_inference_steps=4, depth=2)
+    next(stream)
+    assert len(pulled) == 2
+
+
 def test_edit_stream_depth_one_and_empty(pipe):
     # depth=1 (no overlap) must also be identical; empty stream yields nothing
     items = _items(2)
