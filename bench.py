@@ -78,7 +78,7 @@ def main() -> None:
     p.add_argument("--reuse", type=int, default=1,
                    help="encoder propagation interval (Faster Diffusion); "
                         "1 = exact sampling")
-    p.add_argument("--pipelined", type=int, default=2, metavar="DEPTH",
+    p.add_argument("--pipelined", type=int, default=None, metavar="DEPTH",
                    help="stream --iters edits through edit_stream with this "
                         "many programs in flight (double-buffered serving; "
                         "0 = sequential edit() calls).  Outputs are "
@@ -93,6 +93,16 @@ def main() -> None:
                    help="force the CPU backend (tiny smoke fallback)")
     p.add_argument("--probe-timeout", type=float, default=150.0)
     args = p.parse_args()
+
+    if args.pipelined is None:
+        # default: pipelined depth-2 serving for single-image streams; the
+        # batched path (edit_batch) has no stream to pipeline
+        args.pipelined = 2 if args.batch == 1 else 0
+    elif args.pipelined and args.batch > 1:
+        # an explicit --pipelined with --batch > 1 would otherwise be
+        # silently dropped and the sequential number recorded as pipelined
+        p.error("--pipelined requires --batch 1 (edit_batch is one device "
+                "pass; there is no stream to pipeline)")
 
     # Probe the backend BEFORE importing jax here: a wedged axon relay makes
     # jax.devices() hang forever, and the driver needs a parseable JSON line

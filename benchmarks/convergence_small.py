@@ -227,7 +227,16 @@ def main():
         # the final stage-2 checkpoint is a self-contained pipeline dir
         # (unet/ unet_ema/ vae/ trocr/); eval_ckpt adds the verifier decoder
         ck = latest_checkpoint(unet_dir)
-        eval_ckpt(ck, os.path.join(out, "report_trained.json"))
+        trained_path = os.path.join(out, "report_trained.json")
+        step = int(os.path.basename(ck.rstrip("/")).rsplit("-", 1)[1])
+        final_curve = os.path.join(out, f"report_step{step}.json")
+        if args.curve_every and os.path.exists(final_curve):
+            # the last curve point ran the exact same eval (same checkpoint,
+            # steps, seed, examples) — copy it instead of paying another
+            # ~10 min eval on the contended relay chip
+            shutil.copy(final_curve, trained_path)
+        else:
+            eval_ckpt(ck, trained_path)
         eval_ckpt(ck, os.path.join(out, "report_random.json"),
                   extra=["--randomize", "unet"])
 

@@ -217,7 +217,13 @@ def run_acceptance(args) -> dict:
                        "scene_seed": args.scene_seed, "text": args.text},
                       f, indent=2)
         stage("make_reference", "pass", path=args.make_reference)
-        return report
+        if not args.reference_outputs:
+            return report
+        # both flags: the operator wants our bundle WRITTEN and the
+        # provided one COMPARED — returning here would certify with zero
+        # numeric checks run (and without even "skipped" stages for the
+        # vacuity guard to catch); fall through to the comparison, which
+        # recomputes outputs under the bundle's manifest-pinned args
 
     if not args.reference_outputs:
         for name in ("goldens", "latents", "image"):

@@ -129,7 +129,9 @@ class DevicePrefetcher:
             # process down around an in-flight transfer aborts the client
             # (`terminate called without an active exception`, observed on
             # the relay backend).  The worker checks `stop` between batches,
-            # so this join only waits out the current transfer.
+            # so this waits out the current unit of work — the in-flight
+            # transfer, or the source iterator building its next batch —
+            # bounded by the timeout if either wedges.
             t.join(timeout=60.0)
 
 

@@ -22,7 +22,14 @@ def apply_platform_override(env_var: str = "DIFFUTE_PLATFORM") -> None:
         import jax
 
         jax.config.update("jax_platforms", value)
-    enable_persistent_compile_cache()
+    if (value or "tpu") != "cpu":
+        # persistent cache only for device backends: XLA:CPU caches AOT
+        # executables keyed by HLO but NOT by host CPU features, so a
+        # container migrating hosts can reload an executable compiled for
+        # different features ("could lead to ... SIGILL" per XLA's own
+        # load warning); CPU compiles are cheap, device compiles (4-15 min
+        # through the remote service) are the ones worth caching
+        enable_persistent_compile_cache()
 
 
 def enable_persistent_compile_cache(

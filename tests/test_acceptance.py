@@ -88,6 +88,37 @@ def test_acceptance_without_bundle_certifies_layout_only(tmp_path):
     assert report["stages"]["goldens"]["status"] == "skipped"
 
 
+def test_acceptance_make_reference_plus_bundle_still_compares(tmp_path):
+    # --make_reference together with --reference_outputs must write our
+    # bundle AND run the comparison — returning after the write would
+    # certify with zero numeric checks (and no skipped stages for the
+    # vacuity guard to catch)
+    cfg = tiny_test_config()
+    layout = str(tmp_path / "layout")
+    wrong = str(tmp_path / "wrong")
+    bundle = str(tmp_path / "bundle")
+    ours = str(tmp_path / "ours")
+    _export_layout(layout, cfg, seed=5)
+    _export_layout(wrong, cfg, seed=6)
+    common = ["--model_scale", "tiny", "--steps", "4"]
+    rc = acceptance_main(["--pretrained", layout,
+                          "--make_reference", bundle] + common)
+    assert rc == 0
+
+    report_path = str(tmp_path / "report.json")
+    rc = acceptance_main(["--pretrained", wrong,
+                          "--make_reference", ours,
+                          "--reference_outputs", bundle,
+                          "--out", report_path] + common)
+    assert rc == 1
+    with open(report_path) as f:
+        report = json.load(f)
+    assert not report["accepted"]
+    assert report["stages"]["make_reference"]["status"] == "pass"
+    assert os.path.exists(os.path.join(ours, "latents_steps.npy"))
+    assert report["stages"]["latents"]["status"] == "fail"
+
+
 def test_acceptance_rejects_unloadable_layout(tmp_path):
     # a component subdir WITHOUT its safetensors file would be silently
     # random-initialized by the loader (and the pins pass by construction,
