@@ -136,9 +136,12 @@ def main() -> None:
             pass
     jax.config.update("jax_default_prng_impl", "rbg")
 
-    from diffute_tpu.utils.platform import enable_persistent_compile_cache
+    if backend != "cpu":
+        # device backends only: XLA:CPU caches executables keyed by HLO but
+        # not host CPU features (see utils/platform.apply_platform_override)
+        from diffute_tpu.utils.platform import enable_persistent_compile_cache
 
-    enable_persistent_compile_cache()
+        enable_persistent_compile_cache()
 
     from diffute_tpu.config import (
         DiffUTEConfig, EditConfig, TrOCRConfig, UNetConfig, VAEConfig,
@@ -212,7 +215,11 @@ def main() -> None:
             n += 1
         total = time.perf_counter() - t0
         dt = total / n
-        p50 = sorted(dts)[len(dts) // 2]
+        # p50 over steady-state inter-arrival gaps only: dts[0] is the
+        # pipeline fill (prep + a full loop, ~30% larger), which the output
+        # schema itself separates out as fill_s below
+        steady = dts[1:] or dts
+        p50 = sorted(steady)[len(steady) // 2]
     else:
         dts = []
         for i in range(args.iters):

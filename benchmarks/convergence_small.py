@@ -201,11 +201,11 @@ def main():
         # died at step 2048 after 32 lucky calls).  With remat: 6.18 GB temp,
         # ~12 GB peak including prefetch.
         seg = max(1, args.unet_segment_steps)
-        targets = sorted(set(range(seg, args.unet_steps, seg))
-                         | ({args.unet_steps}
-                            | set(range(args.curve_every, args.unet_steps,
-                                        args.curve_every))
-                            if args.curve_every else {args.unet_steps}))
+        targets = set(range(seg, args.unet_steps, seg)) | {args.unet_steps}
+        if args.curve_every:
+            targets |= set(range(args.curve_every, args.unet_steps,
+                                 args.curve_every))
+        targets = sorted(targets)
         for target in targets:
             # a segment whose work is already checkpointed exits immediately
             sh(py + ["diffute_tpu.train.run_unet", "--model_scale", "small",

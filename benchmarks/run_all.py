@@ -29,7 +29,10 @@ jax.config.update("jax_default_prng_impl", "rbg")
 
 from diffute_tpu.utils.platform import enable_persistent_compile_cache  # noqa: E402
 
-enable_persistent_compile_cache()
+if jax.default_backend() != "cpu":
+    # device backends only (see utils/platform.apply_platform_override):
+    # XLA:CPU executables are cached by HLO but not host CPU features
+    enable_persistent_compile_cache()
 
 from diffute_tpu.config import (  # noqa: E402
     DiffUTEConfig, EditConfig, TrOCRConfig, UNetConfig, VAEConfig,

@@ -286,6 +286,12 @@ class DiffUTEPipeline:
             # sequential B-sized applies.  Every per-sample op (conv, GN,
             # attention) is batch-independent, so the halves equal the two
             # separate applies (pinned by tests/test_composed_parity.py).
+            # Tradeoff: peak activation memory is that of a 2B-sized apply
+            # (the round-3 sequential pair peaked at B).  The BASELINE
+            # config-4 workload (32 regions -> 64 batched, 512^2) fits the
+            # 16 GB chip (measured, benchmarks/results.json); a CFG edit
+            # that RESOURCE_EXHAUSTs at high res should halve the caller's
+            # batch — each batch element is independent.
             null_kv = self.unet.apply(variables, null_ctx,
                                       method=self.unet.cross_attention_kv)
             ctx_all = jnp.concatenate([ctx, null_ctx], axis=0)
@@ -689,12 +695,12 @@ class DiffUTEPipeline:
                 image, _validate_box(box, image.shape[:2]), text, res, rng)
             glyph384 = trocr_preprocess_host([region["glyph"]],
                                              self.config.trocr)
-            inputs = (
-                jnp.asarray(region["crop512"][None]) if blend else dummy,
-                jnp.asarray(region["mask512"][None]),
-                jnp.asarray(region["masked512"][None]),
-                jnp.asarray(glyph384),
-            )
+            inputs = self._place_inputs((
+                region["crop512"][None] if blend else dummy,
+                region["mask512"][None],
+                region["masked512"][None],
+                glyph384,
+            ))
             out = fn(self.params, *inputs, null384, _seed32(seed))
             return image, region, out
 
@@ -770,22 +776,28 @@ class DiffUTEPipeline:
             np.stack([r["masked512"] for r in regions]),
             glyph384,
         )
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            n_dev = self.mesh.devices.size
-
-            def put(x):
-                x = np.asarray(x)
-                spec = P("data") if x.shape[0] % n_dev == 0 else P()
-                return jax.device_put(x, NamedSharding(self.mesh, spec))
-
-            inputs = tuple(put(x) for x in inputs)
-        else:
-            inputs = tuple(jnp.asarray(x) for x in inputs)
-        out = fn(self.params, *inputs, jnp.asarray(null384),
-                 _seed32(seed))
+        out = fn(self.params, *self._place_inputs(inputs),
+                 jnp.asarray(null384), _seed32(seed))
         return np.asarray(jax.device_get(out))
+
+    def _place_inputs(self, inputs) -> tuple:
+        """Device placement shared by the batched and streaming paths: on a
+        mesh, batch-divisible inputs shard over the data axis and the rest
+        replicate (matching the compiled program's input shardings, so a
+        stream submit never re-lowers the shared executable); otherwise a
+        plain transfer to the default device."""
+        if self.mesh is None:
+            return tuple(jnp.asarray(x) for x in inputs)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = self.mesh.devices.size
+
+        def put(x):
+            x = np.asarray(x)
+            spec = P("data") if x.shape[0] % n_dev == 0 else P()
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        return tuple(put(x) for x in inputs)
 
 
 def text_editing(pipe: DiffUTEPipeline, text: str, instance_image: np.ndarray,

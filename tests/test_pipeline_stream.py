@@ -49,6 +49,25 @@ def test_edit_stream_bounds_inflight_to_depth(pipe):
     assert len(pulled) == 2
 
 
+def test_edit_stream_on_mesh_matches_and_shares_programs(pipe):
+    # a mesh-constructed pipeline must route stream submits through the same
+    # placement as edit()/_run_device (NamedSharding device_put) — the
+    # pre-round-4 stream path fed unplaced arrays, so the shared compiled
+    # stage re-lowered for new input shardings on every submit
+    from diffute_tpu.config import tiny_test_config
+    from diffute_tpu.parallel import make_mesh
+
+    cfg = tiny_test_config()
+    mpipe = DiffUTEPipeline(cfg, init_pipeline_params(cfg, seed=0),
+                            mesh=make_mesh(8))
+    items = _items(2)
+    seq = [mpipe.edit(img, box, text, num_inference_steps=4)[0]
+           for img, box, text in items]
+    streamed = list(mpipe.edit_stream(items, num_inference_steps=4, depth=2))
+    for a, b in zip(streamed, seq):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_edit_stream_depth_one_and_empty(pipe):
     # depth=1 (no overlap) must also be identical; empty stream yields nothing
     items = _items(2)
