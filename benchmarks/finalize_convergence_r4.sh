@@ -70,7 +70,12 @@ for R in 2 3; do
     --out $OUT/report_trained_reuse$R.json || echo "WARN: reuse$R failed"
 done
 
-# 5. summary + artifact copy: only files written AFTER this script started
+# 5. optimization-side curve from the stage-2 trainer log (companion to the
+# eval learning curve; the only curve the reference itself shows)
+python benchmarks/extract_loss_curve.py $OUT/unet.log \
+  --out benchmarks/convergence_results/loss_curve.json
+
+# 6. summary + artifact copy: only files written AFTER this script started
 # are copied (a failed eval must not smuggle a stale round-3 report into
 # the committed results); curve artifacts predate the script and are
 # copied unconditionally
