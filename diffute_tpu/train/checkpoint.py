@@ -170,6 +170,11 @@ def restore_checkpoint(path: str, target: Any) -> Any:
                          target=target)
 
 
+def checkpoint_step(path: str) -> int:
+    """Step encoded in a checkpoint directory name (``.../checkpoint-N``)."""
+    return int(os.path.basename(path.rstrip("/")).rsplit("-", 1)[1])
+
+
 def resolve_resume(output_dir: str, resume: Optional[str]) -> Optional[str]:
     """'latest' -> newest checkpoint dir; explicit path -> itself
     (reference train_diffute_v1.py:829-841)."""

@@ -73,8 +73,8 @@ def main():
         small_decoder_config)
     from diffute_tpu.parallel import DevicePrefetcher, maybe_init_distributed
     from diffute_tpu.train.checkpoint import (
-        AsyncCheckpointManager, resolve_resume, restore_checkpoint,
-        vit_config_json)
+        AsyncCheckpointManager, checkpoint_step, resolve_resume,
+        restore_checkpoint, vit_config_json)
     from diffute_tpu.train.ocr_train import OCRTrainer
     from diffute_tpu.utils.metrics import MetricWriter
     from diffute_tpu.utils.params import init_trocr_params
@@ -114,6 +114,13 @@ def main():
         dcfg = small_decoder_config()
         batch_size = args.train_batch_size * jax.local_device_count()
         max_steps = args.max_train_steps
+
+    # Early exit for already-satisfied segment targets (see run_unet.py):
+    # the checkpoint dir name encodes the step — decide before any heavy init.
+    resume = resolve_resume(args.output_dir, args.resume_from_checkpoint)
+    if resume and checkpoint_step(resume) >= max_steps:
+        print(f"done at step {checkpoint_step(resume)}; nothing to train")
+        return
 
     dataset = SyntheticGlyphOCRDataset(config, seed=args.seed,
                                        max_len=args.max_len)

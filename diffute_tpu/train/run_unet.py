@@ -91,7 +91,7 @@ def main():
     from diffute_tpu.parallel import maybe_init_distributed
     from diffute_tpu.train import UNetTrainer
     from diffute_tpu.train.checkpoint import (
-        AsyncCheckpointManager, diffusers_unet_config_json,
+        AsyncCheckpointManager, checkpoint_step, diffusers_unet_config_json,
         diffusers_vae_config_json, export_diffusers_layout, resolve_resume,
         restore_checkpoint, vit_config_json)
     from diffute_tpu.utils import init_pipeline_params
@@ -171,6 +171,17 @@ def main():
     config = dataclasses.replace(
         config, train=dataclasses.replace(config.train,
                                           max_train_steps=max_steps))
+
+    # Segmented/relaunched chains (benchmarks/convergence_small.py) re-invoke
+    # the trainer with targets an existing checkpoint may already satisfy.
+    # The step is encoded in the checkpoint dir name, so decide BEFORE the
+    # pretrained load + trainer/device init — a no-op segment otherwise pays
+    # ~10 min of restore+compile on the relay just to discover it's done.
+    resume = resolve_resume(args.output_dir, args.resume_from_checkpoint)
+    if resume and checkpoint_step(resume) >= max_steps:
+        print(f"done at step {checkpoint_step(resume)}; nothing to train "
+              f"(resumed at or beyond max_train_steps)")
+        return
 
     if args.pretrained:
         from diffute_tpu.serve.loading import load_diffusers_layout

@@ -71,7 +71,7 @@ def main():
     from diffute_tpu.parallel import maybe_init_distributed
     from diffute_tpu.train import VAETrainer
     from diffute_tpu.train.checkpoint import (
-        AsyncCheckpointManager, diffusers_vae_config_json,
+        AsyncCheckpointManager, checkpoint_step, diffusers_vae_config_json,
         export_diffusers_layout, resolve_resume, restore_checkpoint)
     from diffute_tpu.utils import init_pipeline_params
     from diffute_tpu.utils.metrics import MetricWriter
@@ -138,6 +138,14 @@ def main():
     config = dataclasses.replace(
         config, train=dataclasses.replace(config.train,
                                           max_train_steps=max_steps))
+
+    # Early exit for already-satisfied segment targets (see run_unet.py):
+    # the checkpoint dir name encodes the step — decide before any heavy init.
+    resume = resolve_resume(args.output_dir, args.resume_from_checkpoint)
+    if resume and checkpoint_step(resume) >= max_steps:
+        print(f"done at step {checkpoint_step(resume)}; nothing to train "
+              f"(resumed at or beyond max_train_steps)")
+        return
 
     if args.pretrained:
         from diffute_tpu.serve.loading import load_diffusers_layout

@@ -44,12 +44,31 @@ def test_run_unet_smoke_with_resume(tmp_path, monkeypatch, capsys):
         cfg = json.load(f)
     assert cfg["in_channels"] == 9
 
-    # resume from latest: step counter restored, so the loop exits immediately
+    # resume from latest with the target already satisfied: the CLI exits
+    # from the checkpoint dir name alone, before any model/trainer init
     _run_main(main, ["run_unet", "--smoke", "--report_to", "none",
                      "--output_dir", out, "--use_ema",
                      "--resume_from_checkpoint", "latest"], monkeypatch)
     second = capsys.readouterr().out
-    assert "resumed from" in second and "checkpoint-2" in second
+    assert "done at step 2" in second and "nothing to train" in second
+
+
+def test_trainer_early_exit_on_satisfied_target(tmp_path, monkeypatch, capsys):
+    # a segment target the newest checkpoint already satisfies must exit
+    # before ANY heavy init: the fake checkpoint below has a finalized-looking
+    # dir but no restorable state, so reaching the old restore path would
+    # crash — success proves the dirname-based early exit ran instead
+    from diffute_tpu.train.run_vae import main
+
+    out = str(tmp_path / "vae")
+    os.makedirs(os.path.join(out, "checkpoint-7", "state"))
+    _run_main(main, ["run_vae", "--smoke", "--report_to", "none",
+                     "--output_dir", out,
+                     "--resume_from_checkpoint", "latest"], monkeypatch)
+    text = capsys.readouterr().out
+    assert "done at step 7" in text and "nothing to train" in text
+    # and it trained/exported nothing
+    assert not os.path.exists(os.path.join(out, "checkpoint-7", "vae"))
 
 
 @pytest.mark.slow
