@@ -21,8 +21,12 @@ import argparse
 import json
 import re
 
-LINE = re.compile(r"\[step (\d+)\] train_loss=([0-9.eE+-]+) "
-                  r"grad_norm=([0-9.eE+-]+)")
+# value pattern accepts nan/inf so a diverged segment shows up in the
+# committed curve instead of silently disappearing (json.dump emits NaN /
+# Infinity literals, which Python's json reads back)
+_NUM = r"(?:[0-9.eE+-]+|-?nan|-?inf)"
+LINE = re.compile(rf"\[step (\d+)\] train_loss=({_NUM}) "
+                  rf"grad_norm=({_NUM})")
 
 
 def extract(log_path: str, every: int = 1) -> list[dict]:

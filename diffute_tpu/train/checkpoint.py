@@ -171,8 +171,15 @@ def restore_checkpoint(path: str, target: Any) -> Any:
 
 
 def checkpoint_step(path: str) -> int:
-    """Step encoded in a checkpoint directory name (``.../checkpoint-N``)."""
-    return int(os.path.basename(path.rstrip("/")).rsplit("-", 1)[1])
+    """Step encoded in a checkpoint directory name (``.../checkpoint-N``).
+
+    Returns -1 when the basename is not ``checkpoint-N`` (e.g. a copied or
+    renamed checkpoint dir passed via --resume_from_checkpoint): such a dir
+    is still restorable through its ``state/`` subdir, so callers using the
+    step for an early-exit comparison must fall through to a normal restore
+    rather than crash."""
+    m = re.fullmatch(r"checkpoint-(\d+)", os.path.basename(path.rstrip("/")))
+    return int(m.group(1)) if m else -1
 
 
 def resolve_resume(output_dir: str, resume: Optional[str]) -> Optional[str]:

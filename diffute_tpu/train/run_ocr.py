@@ -119,7 +119,8 @@ def main():
     # the checkpoint dir name encodes the step — decide before any heavy init.
     resume = resolve_resume(args.output_dir, args.resume_from_checkpoint)
     if resume and checkpoint_step(resume) >= max_steps:
-        print(f"done at step {checkpoint_step(resume)}; nothing to train")
+        print(f"done at step {checkpoint_step(resume)}; nothing to train "
+              f"(checkpoint {resume} not validated)")
         return
 
     dataset = SyntheticGlyphOCRDataset(config, seed=args.seed,

@@ -179,8 +179,11 @@ def main():
     # ~10 min of restore+compile on the relay just to discover it's done.
     resume = resolve_resume(args.output_dir, args.resume_from_checkpoint)
     if resume and checkpoint_step(resume) >= max_steps:
+        # Decided from the directory NAME alone — the state was not restored
+        # or validated, so say which dir satisfied the target.
         print(f"done at step {checkpoint_step(resume)}; nothing to train "
-              f"(resumed at or beyond max_train_steps)")
+              f"(resumed at or beyond max_train_steps; checkpoint {resume} "
+              f"not validated)")
         return
 
     if args.pretrained:

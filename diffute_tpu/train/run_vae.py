@@ -144,7 +144,8 @@ def main():
     resume = resolve_resume(args.output_dir, args.resume_from_checkpoint)
     if resume and checkpoint_step(resume) >= max_steps:
         print(f"done at step {checkpoint_step(resume)}; nothing to train "
-              f"(resumed at or beyond max_train_steps)")
+              f"(resumed at or beyond max_train_steps; checkpoint {resume} "
+              f"not validated)")
         return
 
     if args.pretrained:

@@ -102,3 +102,36 @@ def test_run_vae_steps_per_call(tmp_path, monkeypatch, capsys):
                      "--output_dir", out, "--steps_per_call", "2"],
               monkeypatch)
     assert "done at step 2" in capsys.readouterr().out
+
+
+def test_checkpoint_step_parses_defensively():
+    # a renamed/copied checkpoint dir must not crash the early-exit check
+    # (it is still restorable through its state/ subdir)
+    from diffute_tpu.train.checkpoint import checkpoint_step
+
+    assert checkpoint_step("/x/y/checkpoint-42") == 42
+    assert checkpoint_step("/x/y/checkpoint-42/") == 42
+    assert checkpoint_step("/x/y/best-model") == -1
+    assert checkpoint_step("/x/y/checkpoint-latest") == -1
+    assert checkpoint_step("checkpoint-7") == 7
+
+
+def test_resume_from_renamed_checkpoint_dir(tmp_path, monkeypatch, capsys):
+    # an explicit --resume_from_checkpoint dir whose basename is not
+    # 'checkpoint-N' skips the dirname early exit and restores normally
+    import shutil
+
+    from diffute_tpu.train.run_vae import main
+
+    out = str(tmp_path / "vae")
+    _run_main(main, ["run_vae", "--smoke", "--report_to", "none",
+                     "--output_dir", out], monkeypatch)
+    capsys.readouterr()
+    renamed = str(tmp_path / "best-copy")
+    shutil.copytree(os.path.join(out, "checkpoint-2"), renamed)
+    _run_main(main, ["run_vae", "--smoke", "--report_to", "none",
+                     "--output_dir", out,
+                     "--resume_from_checkpoint", renamed], monkeypatch)
+    text = capsys.readouterr().out
+    assert f"resumed from {renamed} at step 2" in text
+    assert "done at step 2" in text

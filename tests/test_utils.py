@@ -77,3 +77,26 @@ def test_metric_writer_tracker_fanout(tmp_path, capsys):
     w.log(3, {"x": 1.0})
     w.close()
     assert "[step 3] x=1.00000" in capsys.readouterr().out
+
+
+def test_extract_loss_curve_keeps_nan_points(tmp_path):
+    # a diverged segment (train_loss=nan) must appear in the curve, not be
+    # silently dropped by the line regex
+    import json
+    import math
+    import subprocess
+    import sys
+
+    log = tmp_path / "unet.log"
+    log.write_text(
+        "[step 16] train_loss=0.5 grad_norm=1.0 steps_per_sec=1.0\n"
+        "[step 32] train_loss=nan grad_norm=inf steps_per_sec=1.0\n"
+        "[step 48] train_loss=0.4 grad_norm=0.9 steps_per_sec=1.0\n")
+    out = tmp_path / "curve.json"
+    subprocess.run([sys.executable, "benchmarks/extract_loss_curve.py",
+                    str(log), "--out", str(out), "--every", "1"],
+                   check=True, cwd="/root/repo")
+    curve = json.load(open(out))
+    assert [p["step"] for p in curve] == [16, 32, 48]
+    assert math.isnan(curve[1]["train_loss"])
+    assert math.isinf(curve[1]["grad_norm"])
