@@ -133,7 +133,12 @@ def _iter_manifest(manifest: str, seed: int,
 def _background_metrics(original: np.ndarray, edited: np.ndarray,
                         mask_full: np.ndarray) -> dict:
     """SSIM/PSNR with the edited region neutralized (both images get the
-    original's pixels there), plus the in-region mean |delta|."""
+    original's pixels there), plus the in-region mean |delta|.
+
+    NOTE: paste_back writes only bbox pixels, so on the pasted result these
+    background metrics are structurally perfect — they remain as the
+    paste_back REGRESSION GUARD only.  The discriminative seam metric is
+    :func:`_window_metrics` on the pre-paste crop output."""
     from diffute_tpu.eval import psnr, ssim
 
     keep = mask_full == 0
@@ -144,6 +149,28 @@ def _background_metrics(original: np.ndarray, edited: np.ndarray,
         "ssim_background": float(ssim(original, edited_bg)),
         "psnr_background": float(psnr(original, edited_bg)),
         "region_mean_abs_delta": float(inside.mean()) if inside.size else 0.0,
+    }
+
+
+def _window_metrics(crop_info: dict) -> dict:
+    """In-crop-window-outside-bbox fidelity on the PRE-PASTE output.
+
+    The model regenerates the whole crop window; paste_back then hides
+    everything outside the bbox (app.ipynb:827-840).  Comparing the raw
+    decoded crop to the source crop with the bbox neutralized measures how
+    faithfully the model reconstructs the window background — real seam /
+    boundary / color-shift artifacts show up here and ONLY here.  Unlike
+    ssim_background this varies with checkpoint quality (it includes the
+    VAE roundtrip + denoise reconstruction of unmasked content)."""
+    from diffute_tpu.eval import psnr, ssim
+
+    edited = np.asarray(crop_info["edited_crop"])
+    source = np.asarray(crop_info["source_crop"])
+    keep = np.asarray(crop_info["crop_mask"]) == 0
+    edited_bg = np.where(keep[..., None], edited, source)
+    return {
+        "ssim_window_background": float(ssim(source, edited_bg)),
+        "psnr_window_background": float(psnr(source, edited_bg)),
     }
 
 
@@ -287,10 +314,11 @@ def run_eval(args) -> dict:
     for i, (image, box, text) in enumerate(examples):
         if i >= args.max_examples:
             break
-        edited, mask255 = pipe.edit(image, box, text,
-                                    num_inference_steps=args.steps,
-                                    seed=args.seed, edit_config=edit_cfg)
+        edited, mask255, crop_info = pipe.edit(
+            image, box, text, num_inference_steps=args.steps,
+            seed=args.seed, edit_config=edit_cfg, return_crop=True)
         row = _background_metrics(image, edited, mask255)
+        row.update(_window_metrics(crop_info))
         x1, y1, x2, y2 = box
         region = edited[y1:y2, x1:x2]
         ids_region = verifier.read([region])[0]
@@ -320,6 +348,10 @@ def run_eval(args) -> dict:
                                                for r in rows])),
         "psnr_background_mean": float(np.mean([r["psnr_background"]
                                                for r in rows])),
+        "ssim_window_background_mean": float(np.mean(
+            [r["ssim_window_background"] for r in rows])),
+        "psnr_window_background_mean": float(np.mean(
+            [r["psnr_window_background"] for r in rows])),
         "region_mean_abs_delta_mean": float(np.mean(
             [r["region_mean_abs_delta"] for r in rows])),
         "ocr_id_match_mean": float(np.mean([r["ocr_id_match"]

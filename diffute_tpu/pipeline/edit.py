@@ -456,12 +456,20 @@ class DiffUTEPipeline:
         seed: Optional[int] = None,
         edit_config: Optional[EditConfig] = None,
         rng: Optional[np.random.Generator] = None,
-    ) -> Tuple[np.ndarray, np.ndarray]:
+        return_crop: bool = False,
+    ):
         """Edit one text region.  Returns (edited uint8 image, full-size mask).
 
         API mirror of the reference's
         ``text_editing(text, image, steps, x0, y0, x1, y1) -> (PIL, mask*255)``
         (app.ipynb:653,854).
+
+        With ``return_crop=True`` a third element is returned: the pre-paste
+        crop-window artifacts ``{"edited_crop", "source_crop", "crop_mask"}``
+        (all at the edit resolution).  Paste-back writes ONLY the bbox pixels
+        into the original (app.ipynb:827-840), so seam/boundary artifacts the
+        model produces around the bbox are invisible in the pasted result —
+        eval reads them from here (eval/run.py ssim_window_background).
         """
         ec = edit_config or self.config.edit
         steps = num_inference_steps or ec.num_inference_steps
@@ -474,6 +482,10 @@ class DiffUTEPipeline:
         edited = self._run_device([region], steps, ec, seed)[0]
         result = paste_back(image, edited, region["x_s"], region["y_s"],
                             region["crop_scale"], region["location"])
+        if return_crop:
+            return result, mask * 255, {"edited_crop": edited,
+                                        "source_crop": region["crop512"],
+                                        "crop_mask": region["mask512"]}
         return result, mask * 255
 
     def edit_profiled(

@@ -127,8 +127,11 @@ def torch_reference_edit(tvae, tunet, cfg, mask_u8, masked_u8, ctx,
     # init noise x init_noise_sigma (=1 for DDPM/DDIM; app.ipynb:796-801)
     latents = _to_nchw(n_init) * 1.0
 
-    offset = cfg.scheduler.steps_offset if sampler == "ddim" else 0
+    offset = cfg.scheduler.steps_offset if sampler in ("ddim", "dpmpp") else 0
     ts = _leading_timesteps(T, num_steps, offset)
+    # DPM-Solver++(2M) multistep carry: previous step's x0 prediction and
+    # timestep (first step falls back to first order)
+    dpm_prev_x0, dpm_t_last = None, -1
     traj = []
     for i, t in enumerate(ts):
         t = int(t)
@@ -158,6 +161,34 @@ def torch_reference_edit(tvae, tunet, cfg, mask_u8, masked_u8, ctx,
             if t > 0:
                 latents = latents + torch.sqrt(var) \
                     * _to_nchw(step_noise[i])
+        elif sampler == "dpmpp":
+            # DPM-Solver++(2M), data prediction, re-derived from Lu et al.
+            # 2022 (arXiv:2211.01095 eq. 4.4) in half-log-SNR notation:
+            #   lambda = 0.5*log(ac/(1-ac)); h = lam_prev - lam_t
+            #   x_prev = (sig_prev/sig_t) x - alpha_prev*expm1(-h) * D
+            # where D is x0 (first order) or the 2M extrapolation of the
+            # last two x0 predictions. prev_t follows the timestep SEQUENCE
+            # (diffusers DPMSolverMultistep convention), with the final
+            # boundary at final_alpha_cumprod and, like lower_order_final,
+            # first order on the last step.
+            prev_t = int(ts[i + 1]) if i + 1 < len(ts) else -1
+            a_prev = ac[prev_t] if prev_t >= 0 else final_alpha
+            alpha_s, sigma_s = torch.sqrt(a_prev), torch.sqrt(1.0 - a_prev)
+            sigma_t = torch.sqrt(b_t)
+            lam_t = 0.5 * (torch.log(a_t) - torch.log1p(-a_t))
+            lam_s = 0.5 * (torch.log(a_prev) - torch.log1p(-a_prev))
+            h = lam_s - lam_t
+            if dpm_t_last >= 0 and prev_t >= 0:
+                a_last = ac[dpm_t_last]
+                lam_l = 0.5 * (torch.log(a_last) - torch.log1p(-a_last))
+                r = (lam_t - lam_l) / h
+                d = (1.0 + 1.0 / (2.0 * r)) * x0 \
+                    - 1.0 / (2.0 * r) * dpm_prev_x0
+            else:
+                d = x0
+            latents = (sigma_s / sigma_t) * latents \
+                - alpha_s * torch.expm1(-h) * d
+            dpm_prev_x0, dpm_t_last = x0, t
         else:  # ddim, eta=0; boundary uses final_alpha_cumprod
             a_prev = ac[prev_t] if prev_t >= 0 else final_alpha
             latents = torch.sqrt(a_prev) * x0 \
@@ -239,6 +270,11 @@ def _pipeline_noise(cfg, seed, num_steps, sampler, lat_shape):
     # runs as ONE batch-2B apply — against the sequential two-apply torch
     # formulation, plus the per-step masked-latent blend
     ("ddim", 10, 3.0, True),
+    # the fast-serving default: DPM-Solver++(2M) multistep carry
+    # (prev_x0/t_last threading) against the independent torch mirror,
+    # plain and with CFG+blend
+    ("dpmpp", 12, 1.0, False),
+    ("dpmpp", 10, 3.0, True),
 ])
 def test_composed_denoise_parity(setup, sampler, num_steps, guidance, blend):
     cfg, pipe = setup["cfg"], setup["pipe"]

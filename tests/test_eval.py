@@ -98,7 +98,14 @@ def test_eval_cli_tiny_synthetic(tmp_path):
     assert 0.0 <= report["ocr_id_match_mean"] <= 1.0
     assert -1.0 <= report["ssim_background_mean"] <= 1.0
     assert report["psnr_background_mean"] > 0
+    # the seam metric reads the PRE-PASTE crop: with random-init models the
+    # regenerated window background cannot match the source, so unlike
+    # ssim_background (structurally 1.0 after paste-back) it must be
+    # discriminative here
+    assert -1.0 <= report["ssim_window_background_mean"] < 0.999
+    assert report["ssim_background_mean"] > report["ssim_window_background_mean"]
     for row in report["examples"]:
         assert set(row) >= {"ssim_background", "psnr_background",
+                            "ssim_window_background", "psnr_window_background",
                             "region_mean_abs_delta", "ocr_id_match",
                             "text", "box"}

@@ -170,3 +170,124 @@ def test_compiled_cache_reused(pipe, scene):
     n = len(pipe._compiled)
     pipe.edit(img, box, "two", num_inference_steps=2)
     assert len(pipe._compiled) == n
+
+
+# ---------------------------------------------------------------------------
+# Encoder-reuse grouping: eager-Python mirror of the scan super-body
+# ---------------------------------------------------------------------------
+
+
+def _eager_reuse_mirror(pipe, num_steps, sampler, guidance, k,
+                        ctx, null_ctx, mask_lat, masked_latents, latents):
+    """Plain Python re-implementation of _device_loop's encoder-reuse
+    structure — full forward at group heads, decoder-only over the cached
+    (bottom, skips) inside a group, full forwards for the remainder steps —
+    with NO lax.scan and NO grouped arrays.  The sampler step fns are the
+    already-pinned primitives (tests/test_schedulers.py,
+    tests/test_composed_parity.py); what this mirror checks is the
+    scan-super-body CONTROL FLOW: grouping, cache threading, and the
+    dpmpp multistep carry across group boundaries."""
+    from diffute_tpu.diffusion.schedules import (
+        ddim_step,
+        ddim_timesteps,
+        dpmpp_2m_step,
+    )
+
+    unet, variables = pipe.unet, {"params": pipe.params["unet"]}
+    use_cfg = guidance > 1.0
+    ts = ddim_timesteps(pipe.schedule, num_steps)
+    prevs = list(ts[1:]) + [-1]
+
+    ctx_kv = unet.apply(variables, ctx, method=unet.cross_attention_kv)
+    if use_cfg:
+        null_kv = unet.apply(variables, null_ctx,
+                             method=unet.cross_attention_kv)
+        ctx_all = jnp.concatenate([ctx, null_ctx], axis=0)
+        kv_all = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), ctx_kv, null_kv)
+        mask_all = jnp.concatenate([mask_lat, mask_lat], axis=0)
+        masked_all = jnp.concatenate([masked_latents, masked_latents], axis=0)
+    else:
+        ctx_all, kv_all = ctx, ctx_kv
+        mask_all, masked_all = mask_lat, masked_latents
+
+    n_super = num_steps // k
+    prev_x0, t_last = jnp.zeros_like(latents), jnp.asarray(-1, jnp.int32)
+    cache = None
+    for i in range(num_steps):
+        t = jnp.asarray(int(ts[i]))
+        prev_t = jnp.asarray(int(prevs[i]))
+        in_scan = i < n_super * k
+        full = (not in_scan) or (i % k == 0)
+        x = jnp.concatenate([latents, latents], axis=0) if use_cfg else latents
+        if full:
+            temb = unet.apply(variables, t, x.shape[0],
+                              method=unet.time_embed)
+            x_in = jnp.concatenate([x, mask_all, masked_all], axis=-1)
+            bottom, skips = unet.apply(variables, x_in, temb, ctx_all, kv_all,
+                                       method=unet.encode)
+            cache = (bottom, tuple(skips)) if in_scan else None
+            eps = unet.apply(variables, bottom, skips, temb, ctx_all, kv_all,
+                             method=unet.decode)
+        else:
+            bottom, skips = cache
+            temb = unet.apply(variables, t, bottom.shape[0],
+                              method=unet.time_embed)
+            eps = unet.apply(variables, bottom, list(skips), temb, ctx_all,
+                             kv_all, method=unet.decode)
+        if use_cfg:
+            eps_c, eps_u = jnp.split(eps, 2, axis=0)
+            eps = eps_u + guidance * (eps_c - eps_u)
+        if sampler == "dpmpp":
+            latents, x0 = dpmpp_2m_step(pipe.schedule, eps, t, prev_t, t_last,
+                                        latents, prev_x0)
+            prev_x0, t_last = x0, t
+        else:
+            latents = ddim_step(pipe.schedule, eps, t, prev_t, latents)
+    return latents
+
+
+@pytest.mark.parametrize("sampler,num_steps,k,guidance", [
+    ("ddim", 7, 2, 1.0),    # 3 super-steps + 1 remainder full step
+    ("ddim", 7, 3, 1.0),    # 2 super-steps + 1 remainder
+    ("dpmpp", 7, 2, 1.0),   # multistep carry crosses group boundaries
+    ("dpmpp", 7, 3, 1.0),
+    ("dpmpp", 6, 2, 2.5),   # reuse + CFG batch-2B, no remainder
+])
+def test_encoder_reuse_scan_matches_eager_mirror(pipe, sampler, num_steps, k,
+                                                 guidance):
+    import functools
+
+    from diffute_tpu.text import (
+        render_glyph,
+        trocr_preprocess_host,
+    )
+
+    cfg = pipe.config
+    res = cfg.edit.resolution
+    rng = np.random.RandomState(5)
+    image = rng.randint(0, 256, (res, res, 3), np.uint8)
+    from diffute_tpu.pipeline.regions import generate_mask, make_masked_image
+
+    mask = generate_mask((res, res), np.int32([8, 12, 24, 20]))
+    masked = make_masked_image(image, mask)
+    glyph = trocr_preprocess_host([render_glyph("Hi", cfg.glyph)], cfg.trocr)
+    null_in = (jnp.asarray(trocr_preprocess_host(
+        [render_glyph("", cfg.glyph)], cfg.trocr)) if guidance > 1.0
+        else jnp.zeros((1, 1, 1, 3), jnp.uint8))
+
+    pipe._get_compiled(num_steps, sampler, guidance, False, k)
+    prep, loop, _ = pipe._stages[(num_steps, sampler, guidance, False, k)]
+    *prepped, k_loop = prep(pipe.params, jnp.zeros((1, 1, 1, 3), jnp.uint8),
+                            jnp.asarray(mask[None]), jnp.asarray(masked[None]),
+                            jnp.asarray(glyph), null_in, np.int32(0))
+    lat_scan = np.asarray(loop(pipe.params["unet"], *prepped, k_loop))
+
+    ctx, null_ctx, mask_lat, masked_latents, _, latents = prepped
+    lat_eager = np.asarray(_eager_reuse_mirror(
+        pipe, num_steps, sampler, guidance, k,
+        ctx, null_ctx, mask_lat, masked_latents, latents))
+
+    scale = max(1.0, float(np.abs(lat_eager).max()))
+    err = float(np.abs(lat_scan - lat_eager).max())
+    assert err <= 1e-4 * scale, f"max|err| {err:.2e} vs scale {scale:.2f}"
