@@ -135,6 +135,30 @@ class DevicePrefetcher:
             t.join(timeout=60.0)
 
 
+def place_global(mesh: Mesh, x: Any, spec: P) -> jax.Array:
+    """Place a HOST-GLOBAL array (every process holds the identical full
+    array) onto the mesh with ``spec``.
+
+    Single-process: a plain ``device_put``.  Multi-process: ``device_put``
+    cannot target non-addressable devices, so the global array is assembled
+    via ``jax.make_array_from_callback`` — each process serves the shards it
+    owns out of its full host copy.  This is the serving-side placement
+    (replicated params, replicated-or-sharded edit inputs), as opposed to
+    :func:`shard_batch` where each process holds only its LOCAL slice."""
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+
+def replicate_tree(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a host-global pytree (e.g. serving params) onto the mesh,
+    multi-process safe (see :func:`place_global`)."""
+    return jax.tree_util.tree_map(
+        lambda x: place_global(mesh, x, P()), tree)
+
+
 def shard_batch(mesh: Mesh, batch: Any, batch_axis: int = 0) -> Any:
     """Place a batch pytree onto the mesh, sharded along ``batch_axis``
     (axis 1 for (accum, micro, ...) layouts).

@@ -147,9 +147,11 @@ class DiffUTEPipeline:
             "trocr": _cast_floating(params["trocr"], config.trocr.dtype),
         }
         if mesh is not None:
-            from diffute_tpu.parallel import replicated_sharding
+            # multi-process safe: on a pod mesh device_put cannot target
+            # non-addressable devices (tests/test_multihost.py)
+            from diffute_tpu.parallel import replicate_tree
 
-            params = jax.device_put(params, replicated_sharding(mesh))
+            params = replicate_tree(mesh, params)
         else:
             # checkpoint loaders return numpy trees; place them on device ONCE
             # (numpy args to a jitted fn re-upload every call)
@@ -695,10 +697,10 @@ class DiffUTEPipeline:
         fn = self._get_compiled(steps, ec.sampler, ec.guidance_scale, blend,
                                 ec.encoder_reuse_interval)
         dummy = np.zeros((1, 1, 1, 3), np.uint8)
-        null384 = jnp.asarray(
+        null384, = self._place_inputs((
             trocr_preprocess_host([render_glyph("", self.config.glyph)],
                                   self.config.trocr)
-            if use_cfg else dummy)
+            if use_cfg else dummy,))
 
         def submit(item):
             image, box, text = item
@@ -713,7 +715,8 @@ class DiffUTEPipeline:
                 region["masked512"][None],
                 glyph384,
             ))
-            out = fn(self.params, *inputs, null384, _seed32(seed))
+            seed_p, = self._place_inputs((_seed32(seed),))
+            out = fn(self.params, *inputs, null384, seed_p)
             return image, region, out
 
         def finish(entry):
@@ -788,8 +791,10 @@ class DiffUTEPipeline:
             np.stack([r["masked512"] for r in regions]),
             glyph384,
         )
-        out = fn(self.params, *self._place_inputs(inputs),
-                 jnp.asarray(null384), _seed32(seed))
+        # null/seed ride the same placement: a multi-process jit rejects
+        # local-device arrays mixed with mesh-global ones
+        null_p, seed_p = self._place_inputs((null384, _seed32(seed)))
+        out = fn(self.params, *self._place_inputs(inputs), null_p, seed_p)
         return np.asarray(jax.device_get(out))
 
     def _place_inputs(self, inputs) -> tuple:
@@ -800,14 +805,16 @@ class DiffUTEPipeline:
         plain transfer to the default device."""
         if self.mesh is None:
             return tuple(jnp.asarray(x) for x in inputs)
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
+
+        from diffute_tpu.parallel import place_global
 
         n_dev = self.mesh.devices.size
 
         def put(x):
             x = np.asarray(x)
-            spec = P("data") if x.shape[0] % n_dev == 0 else P()
-            return jax.device_put(x, NamedSharding(self.mesh, spec))
+            spec = P("data") if x.ndim and x.shape[0] % n_dev == 0 else P()
+            return place_global(self.mesh, x, spec)
 
         return tuple(put(x) for x in inputs)
 
