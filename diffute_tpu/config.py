@@ -199,8 +199,11 @@ class OptimizerConfig:
     adam_weight_decay: float = 1e-2
     adam_epsilon: float = 1e-8
     max_grad_norm: float = 1.0
-    lr_scheduler: str = "constant"  # {constant, constant_with_warmup, linear, cosine, polynomial}
+    lr_scheduler: str = "constant"  # {constant, constant_with_warmup, linear, cosine, cosine_with_restarts, polynomial}
     lr_warmup_steps: int = 500
+    # hard-restart cycle count for cosine_with_restarts (diffusers
+    # get_scheduler forwards num_cycles; its default for this schedule is 1)
+    lr_num_cycles: int = 1
     scale_lr: bool = False
     # Low-memory Adam moments — the TPU-native counterpart of the reference's
     # optional bitsandbytes AdamW8bit (train_diffute_v1.py:244-248,709-719):

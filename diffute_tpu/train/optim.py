@@ -36,10 +36,26 @@ def build_lr_schedule(config: OptimizerConfig, total_steps: int) -> optax.Schedu
         return optax.warmup_cosine_decay_schedule(
             0.0, lr, warmup, max(warmup + 1, total_steps))
     if name == "cosine_with_restarts":
-        # single-cycle cosine repeated; diffusers default num_cycles=1 reduces
-        # to plain cosine.
-        return optax.warmup_cosine_decay_schedule(
-            0.0, lr, warmup, max(warmup + 1, total_steps))
+        # diffusers get_cosine_with_hard_restarts_schedule_with_warmup:
+        # linear warmup, then num_cycles hard-restart cosine arcs — the LR
+        # falls to 0 at each cycle boundary and snaps back to full lr:
+        #   factor = 0.5 * (1 + cos(pi * ((num_cycles * progress) % 1)))
+        # with progress in [0,1) over the post-warmup span, 0 after.
+        import jax.numpy as jnp
+
+        cycles = max(1, config.lr_num_cycles)
+        decay_span = max(1, total_steps - warmup)
+
+        def schedule(step):
+            step = jnp.asarray(step, jnp.float32)
+            warm = lr * step / jnp.maximum(1.0, warmup)
+            progress = (step - warmup) / decay_span
+            frac = jnp.mod(cycles * progress, 1.0)
+            arc = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+            arc = jnp.where(progress >= 1.0, 0.0, arc)
+            return jnp.where(step < warmup, warm, arc)
+
+        return schedule
     if name == "polynomial":
         return optax.join_schedules(
             [optax.linear_schedule(0.0, lr, warmup),

@@ -1,6 +1,7 @@
 """utils: image conversions (reference R18), optimizer options."""
 
 import numpy as np
+import pytest
 
 from diffute_tpu.config import OptimizerConfig
 from diffute_tpu.train.optim import build_lr_schedule, build_optimizer
@@ -100,3 +101,42 @@ def test_extract_loss_curve_keeps_nan_points(tmp_path):
     assert [p["step"] for p in curve] == [16, 32, 48]
     assert math.isnan(curve[1]["train_loss"])
     assert math.isinf(curve[1]["grad_norm"])
+
+
+def test_cosine_with_restarts_matches_diffusers_closed_form():
+    # golden vs get_cosine_with_hard_restarts_schedule_with_warmup semantics:
+    #   warmup: lr * step/warmup
+    #   then:   lr * 0.5*(1+cos(pi * ((num_cycles*progress) % 1)))
+    import dataclasses
+    import math
+
+    lr, warmup, total, cycles = 1e-4, 10, 100, 3
+    cfg = OptimizerConfig(lr_scheduler="cosine_with_restarts",
+                          lr_warmup_steps=warmup, learning_rate=lr,
+                          lr_num_cycles=cycles)
+    sched = build_lr_schedule(cfg, total)
+
+    def ref(step):
+        if step < warmup:
+            return lr * step / max(1, warmup)
+        progress = (step - warmup) / max(1, total - warmup)
+        if progress >= 1.0:
+            return 0.0
+        return lr * 0.5 * (1.0 + math.cos(math.pi * ((cycles * progress) % 1.0)))
+
+    # the schedule computes in f32; (1+cos) near the arc minimum amplifies
+    # rounding, so allow lr*1e-5 absolute slack
+    for step in range(0, 110):
+        assert float(sched(step)) == pytest.approx(ref(step), rel=1e-5,
+                                                   abs=lr * 1e-5), step
+
+    # cycle boundaries: span 90, cycles 3 -> restart at warmup+30, +60
+    for b in (40, 70):
+        assert float(sched(b)) == pytest.approx(lr, rel=1e-6)       # snaps back to full lr
+        assert float(sched(b - 1)) < 0.01 * lr                      # fell to ~0 just before
+    assert float(sched(100)) == 0.0 and float(sched(105)) == 0.0    # past total: 0
+
+    # num_cycles=1 equals the single hard cosine arc ending at 0
+    one = build_lr_schedule(dataclasses.replace(cfg, lr_num_cycles=1), total)
+    assert float(one(warmup)) == pytest.approx(lr, rel=1e-6)
+    assert float(one(99)) < 0.01 * lr
