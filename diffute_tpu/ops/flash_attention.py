@@ -105,6 +105,135 @@ def _pad_seq(x: jax.Array, block: int) -> jax.Array:
 # Forward
 # ---------------------------------------------------------------------------
 
+_LOG2E = 1.4426950408889634  # log2(e)
+_LN2 = 0.6931471805599453    # 1 / log2(e)
+
+
+def _fwd_kernel_pipelined(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                          m_scr, l_scr, acc_scr, s0_scr, s1_scr):
+    """Deferred-softmax forward: tile j's QK^T (MXU) is issued in the same
+    body that runs the softmax update of tile j-1 (VPU), with NO data
+    dependence between them — the score tiles double-buffer through VMEM
+    scratch (s0/s1 by kv parity) so Mosaic can overlap the units.
+
+    Motivation (docs/attention_roofline.md): at head_dim 64 the kernel is
+    VPU-bound — per score element the matmuls cost 4*D=256 MXU FLOPs but the
+    softmax costs ~5 VPU ops, and MXU:VPU throughput is ~50:1 — so the
+    serial body pays t_mxu + t_vpu per tile (measured 3.6 us at
+    (1024,1024)), capping the plateau at ~74 TF/s.  Overlap targets
+    max(t_mxu, t_vpu).
+
+    Softmax runs in base 2: the caller pre-scales q by softmax_scale*log2(e)
+    (one XLA-fused multiply), replacing exp(s*scale - m) with exp2(s2 - m2)
+    — one fewer VPU pass over the (BQ, BKV) tile, and exp2 is the native
+    transcendental.  The emitted LSE is converted back to natural log for
+    the (unchanged) backward kernels.
+
+    Grid is (bh, n_q, n_kv + 1): step j produces tile j (j < n_kv) and
+    consumes tile j-1 (j > 0).  kv_len must be a multiple of block_kv (the
+    dispatcher guarantees it)."""
+    j = pl.program_id(2)
+    n_kv = pl.num_programs(2) - 1
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # ---- produce: score tile j -> scratch buffer (j % 2)  [MXU]
+    @pl.when(j < n_kv)
+    def _():
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (BQ, BKV), log2 units
+
+        @pl.when(j % 2 == 0)
+        def _():
+            s0_scr[:] = s
+
+        @pl.when(j % 2 == 1)
+        def _():
+            s1_scr[:] = s
+
+    # ---- consume: softmax update of tile j-1  [VPU + one MXU matmul]
+    def consume(s_prev):
+        m_prev = m_scr[:]                       # (BQ, 1), log2 units
+        m_cur = jnp.max(s_prev, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s_prev - m_new)            # (BQ, BKV)
+        l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = m_new
+
+    @pl.when((j > 0) & (j % 2 == 1))
+    def _():
+        consume(s0_scr[:])
+
+    @pl.when((j > 0) & (j % 2 == 0))
+    def _():
+        consume(s1_scr[:])
+
+    @pl.when(j == n_kv)
+    def _():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+        # natural-log LSE (the backward kernels expect p = exp(s*scale - lse))
+        lse_ref[0] = (m_scr[:] + jnp.log2(l_scr[:])) * _LN2
+
+
+def _flash_fwd_3d_pipelined(q, k, v, scale, block_q, block_kv):
+    """Dispatch target for kv_len % block_kv == 0 with >= 2 kv blocks.
+    q/k/v already padded; q PRE-SCALED by scale*log2(e) happens here."""
+    bh, s_len, d = q.shape
+    kv_len = k.shape[1]
+    n_q, n_kv = s_len // block_q, kv_len // block_kv
+    # fold softmax scale + the base-2 conversion into q (one fused multiply
+    # in XLA; bf16 inputs take one extra rounding, within matmul noise)
+    q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+
+    grid = (bh, n_q, n_kv + 1)
+    last_kv = n_kv - 1
+    out, lse = pl.pallas_call(
+        _fwd_kernel_pipelined,
+        interpret=_interpret(),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            # produce reads k[j] (clamped on the final, produce-free step)
+            pl.BlockSpec((1, block_kv, d),
+                         lambda b, i, j: (b, jnp.minimum(j, last_kv), 0),
+                         memory_space=pltpu.VMEM),
+            # consume reads v[j-1] (clamped on the consume-free first step)
+            pl.BlockSpec((1, block_kv, d),
+                         lambda b, i, j: (b, jnp.maximum(j - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((bh, q.shape[1], 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, block_kv), jnp.float32),
+            pltpu.VMEM((block_q, block_kv), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(q, k, v)
+    return out[:, :s_len], lse[:, :s_len]
+
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
                 *, scale: float, kv_len: int, block_kv: int):
@@ -157,6 +286,13 @@ def _flash_fwd_3d(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
     q = _pad_seq(q, block_q)
     k = _pad_seq(k, block_kv)
     v = _pad_seq(v, block_kv)
+
+    # long multi-block KV with no padding tail: the deferred-softmax kernel
+    # (MXU/VPU overlap + base-2 softmax), targeting the 74 TF/s plateau —
+    # see docs/attention_roofline.md
+    if kv_len % block_kv == 0 and kv_len // block_kv >= 2:
+        out, lse = _flash_fwd_3d_pipelined(q, k, v, scale, block_q, block_kv)
+        return out[:, :s_len], lse[:, :s_len]
 
     grid = (bh, q.shape[1] // block_q, k.shape[1] // block_kv)
     out, lse = pl.pallas_call(

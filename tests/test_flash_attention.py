@@ -134,3 +134,61 @@ def test_gradients_bfloat16():
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    atol=0.35, rtol=0.1)
+
+
+# ---------------------------------------------------------------------------
+# Deferred-softmax (pipelined) forward: kv_len % block_kv == 0, >= 2 blocks
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("s,t", [(256, 2048), (512, 2048)])
+def test_pipelined_long_kv_parity(s, t):
+    # multi-block unpadded KV dispatches to _fwd_kernel_pipelined (base-2
+    # softmax, double-buffered score tiles)
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (1, s, 1, 64))
+    k = jax.random.normal(kk, (1, t, 1, 64))
+    v = jax.random.normal(kv, (1, t, 1, 64))
+    ref = _xla_attention(q, k, v, 64**-0.5)
+    out = _run_flash(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_pipelined_bfloat16():
+    key = jax.random.PRNGKey(4)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (1, 256, 1, 64), jnp.bfloat16)
+    k = jax.random.normal(kk, (1, 2048, 1, 64), jnp.bfloat16)
+    v = jax.random.normal(kv, (1, 2048, 1, 64), jnp.bfloat16)
+    ref = _xla_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                         v.astype(jnp.float32), 64**-0.5)
+    out = _run_flash(q, k, v)
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(ref), atol=3e-2, rtol=3e-2)
+
+
+def test_pipelined_gradients_match_reference():
+    # the backward kernels consume the pipelined forward's LSE — this pins
+    # the base-2 -> natural-log conversion
+    key = jax.random.PRNGKey(5)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (1, 256, 1, 64))
+    k = jax.random.normal(kk, (1, 2048, 1, 64))
+    v = jax.random.normal(kv, (1, 2048, 1, 64))
+
+    def loss_flash(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            out = fa.flash_attention(q, k, v, None, 256, 512)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_ref(q, k, v):
+        out = _xla_attention(q, k, v, 64**-0.5)
+        return jnp.sum(out * jnp.cos(out))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=5e-5, rtol=1e-3)
