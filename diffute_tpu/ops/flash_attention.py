@@ -35,6 +35,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Route unpadded multi-block-KV forwards through the deferred-softmax
+# pipelined kernel (docs/attention_roofline.md).  Module-level so benchmarks
+# can A/B the two kernels on the same day/chip.  Measured (attn_r5_ab.json):
+# the 2x score-tile scratch starves VMEM at the winning (1024, 1024) blocks
+# (67.7 vs 77.3 TF/s) and only helps at (512, 512) tiles — OFF by default.
+PIPELINE_FWD = False
+
+# Run the standard kernel's softmax in base 2 with softmax_scale*log2(e)
+# pre-folded into q: one fewer VPU pass over the score tile
+# (docs/attention_roofline.md optimization 2).
+LOG2_SOFTMAX = True
+
 
 def _interpret() -> bool:
     # interpret on CPU so the same model flag works in tests/dev
@@ -63,6 +75,13 @@ _TUNED_BLOCKS = (
     # holds the same plateau with half the footprint.
     (0, 256, 512),
     (4096, 1024, 1024),
+    # round-5 log2-softmax sweep (benchmarks/records/attn_r5_log2.json,
+    # same-day A/B, long RTT-cancelling chains): 16384 tokens best at
+    # (1024, 2048) = 3.50 ms = 98.1 TF/s (vs the round-3/4 74 TF/s plateau
+    # at (1024, 1024) — docs/attention_roofline.md).  (2048, x) rows were
+    # 2-6% faster still but block_q 2048's ~17 MB tile footprint overflowed
+    # scoped vmem at batch >= 2 in round 3; not worth the risk.
+    (16384, 1024, 2048),
 )
 
 # The backward kernels keep more operands resident per tile (q, k, v, o,
@@ -236,7 +255,13 @@ def _flash_fwd_3d_pipelined(q, k, v, scale, block_q, block_kv):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                *, scale: float, kv_len: int, block_kv: int):
+                *, scale: float, kv_len: int, block_kv: int,
+                log2_domain: bool = False):
+    """``log2_domain``: q arrives PRE-SCALED by softmax_scale*log2(e), so the
+    per-element ``* scale`` pass disappears and exp -> exp2 (the native
+    transcendental) — one fewer VPU pass over the (BQ, BKV) tile, the
+    VPU-bound kernel's unit of cost (docs/attention_roofline.md).  The
+    emitted LSE is converted back to natural log either way."""
     kv_idx = pl.program_id(2)
     n_kv = pl.num_programs(2)
 
@@ -250,9 +275,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     k = k_ref[0]  # (BKV, D)
     v = v_ref[0]  # (BKV, D)
 
+    exp = jnp.exp2 if log2_domain else jnp.exp
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # (BQ, BKV)
+        preferred_element_type=jnp.float32)  # (BQ, BKV)
+    if not log2_domain:
+        s = s * scale
 
     # mask out padded kv positions (cross-attn T=577 etc.)
     if kv_len % block_kv != 0:
@@ -262,8 +290,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     m_prev = m_scr[:]                      # (BQ, 1)
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)                  # (BQ, BKV)
+    alpha = exp(m_prev - m_new)
+    p = exp(s - m_new)                      # (BQ, BKV)
     l_new = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -274,7 +302,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     @pl.when(kv_idx == n_kv - 1)
     def _():
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
-        lse_ref[0] = m_scr[:] + jnp.log(l_scr[:])
+        if log2_domain:
+            lse_ref[0] = (m_scr[:] + jnp.log2(l_scr[:])) * _LN2
+        else:
+            lse_ref[0] = m_scr[:] + jnp.log(l_scr[:])
 
 
 def _flash_fwd_3d(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
@@ -289,15 +320,22 @@ def _flash_fwd_3d(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
 
     # long multi-block KV with no padding tail: the deferred-softmax kernel
     # (MXU/VPU overlap + base-2 softmax), targeting the 74 TF/s plateau —
-    # see docs/attention_roofline.md
-    if kv_len % block_kv == 0 and kv_len // block_kv >= 2:
+    # see docs/attention_roofline.md.  PIPELINE_FWD is the A/B switch for
+    # benchmarks (benchmarks/attn_bench.py --ab).
+    if PIPELINE_FWD and kv_len % block_kv == 0 and kv_len // block_kv >= 2:
         out, lse = _flash_fwd_3d_pipelined(q, k, v, scale, block_q, block_kv)
         return out[:, :s_len], lse[:, :s_len]
+
+    if LOG2_SOFTMAX:
+        # fold softmax scale + base-2 conversion into q (one XLA-fused
+        # multiply on the small (BH,S,D) operand; bf16 q takes one extra
+        # rounding, within matmul noise)
+        q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
 
     grid = (bh, q.shape[1] // block_q, k.shape[1] // block_kv)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len,
-                          block_kv=block_kv),
+                          block_kv=block_kv, log2_domain=LOG2_SOFTMAX),
         interpret=_interpret(),
         grid=grid,
         in_specs=[
