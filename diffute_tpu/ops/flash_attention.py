@@ -44,7 +44,9 @@ PIPELINE_FWD = False
 
 # Run the standard kernel's softmax in base 2 with softmax_scale*log2(e)
 # pre-folded into q: one fewer VPU pass over the score tile
-# (docs/attention_roofline.md optimization 2).
+# (docs/attention_roofline.md optimization 2).  Applied to non-f32 inputs
+# only: the prescale's extra operand rounding measurably doubles f32 error
+# vs XLA on chip (2.4e-3 -> 5e-3) while bf16 stays within matmul noise.
 LOG2_SOFTMAX = True
 
 
@@ -104,7 +106,8 @@ def _resolve_blocks(s_len: int, block_q, block_kv, table=_TUNED_BLOCKS):
     return block_q, block_kv
 
 
-def _pick_blocks(s_len: int, kv_len: int, block_q: int, block_kv: int):
+def _pick_blocks(s_len: int, kv_len: int, block_q: int, block_kv: int,
+                 dtype=None):
     block_q = min(block_q, _round_up(s_len, 128))
     if kv_len <= 1024:
         # short KV (e.g. 577-token TrOCR cross-attention): one kv block with
@@ -112,6 +115,12 @@ def _pick_blocks(s_len: int, kv_len: int, block_q: int, block_kv: int):
         block_kv = _round_up(kv_len, 128)
     else:
         block_kv = min(block_kv, _round_up(kv_len, 128))
+    if dtype == jnp.float32:
+        # f32 operand tiles double the VMEM footprint: (1024, 2048) measured
+        # 16.42M scoped vmem under jit fusion (OOM at the 16M limit) where
+        # the bf16 sweep fit.  Cap the score tile at 1024x1024 for f32.
+        while block_q * block_kv > 1024 * 1024 and block_kv > 512:
+            block_kv //= 2
     return block_q, block_kv
 
 
@@ -313,7 +322,8 @@ def _flash_fwd_3d(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
     """q (BH, S, D), k/v (BH, T, D) -> (o (BH, S, D), lse (BH, S, 1))."""
     bh, s_len, d = q.shape
     kv_len = k.shape[1]
-    block_q, block_kv = _pick_blocks(s_len, kv_len, block_q, block_kv)
+    block_q, block_kv = _pick_blocks(s_len, kv_len, block_q, block_kv,
+                                     dtype=q.dtype)
     q = _pad_seq(q, block_q)
     k = _pad_seq(k, block_kv)
     v = _pad_seq(v, block_kv)
@@ -326,16 +336,18 @@ def _flash_fwd_3d(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
         out, lse = _flash_fwd_3d_pipelined(q, k, v, scale, block_q, block_kv)
         return out[:, :s_len], lse[:, :s_len]
 
-    if LOG2_SOFTMAX:
-        # fold softmax scale + base-2 conversion into q (one XLA-fused
-        # multiply on the small (BH,S,D) operand; bf16 q takes one extra
-        # rounding, within matmul noise)
+    # bf16-only: the prescale adds an independent operand rounding that
+    # measurably doubles f32 error vs XLA on chip (2.4e-3 -> 5e-3, within
+    # bf16 noise but not free at f32) — f32 callers (parity/acceptance)
+    # keep the exact-scale kernel, bf16 serving/training takes the speed.
+    log2 = LOG2_SOFTMAX and q.dtype != jnp.float32
+    if log2:
         q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
 
     grid = (bh, q.shape[1] // block_q, k.shape[1] // block_kv)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len,
-                          block_kv=block_kv, log2_domain=LOG2_SOFTMAX),
+                          block_kv=block_kv, log2_domain=log2),
         interpret=_interpret(),
         grid=grid,
         in_specs=[
@@ -373,7 +385,12 @@ def _flash_fwd_3d(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   dq_scr, *, scale: float, kv_len: int, block_kv: int):
+                   dq_scr, *, scale: float, kv_len: int, block_kv: int,
+                   log2_domain: bool = False):
+    """``log2_domain``: q arrives pre-scaled by softmax_scale*log2(e) and
+    lse in log2 units, so ``p = exp2(s2 - lse2)`` with no per-element scale
+    pass (same VPU saving as the forward).  dq stays in ORIGINAL q units —
+    its ``* scale`` factor uses the unscaled k operand and is unchanged."""
     kv_idx = pl.program_id(2)
     n_kv = pl.num_programs(2)
 
@@ -389,11 +406,13 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     delta = delta_ref[0]                   # (BQ, 1)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32)
+    if not log2_domain:
+        s = s * scale
     if kv_len % block_kv != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_kv
         s = jnp.where(col < kv_len, s, NEG_INF)
-    p = jnp.exp(s - lse)                   # (BQ, BKV)
+    p = (jnp.exp2 if log2_domain else jnp.exp)(s - lse)  # (BQ, BKV)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - delta)
@@ -408,7 +427,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
-                    *, scale: float, kv_len: int, block_kv: int):
+                    *, scale: float, kv_len: int, block_kv: int,
+                    log2_domain: bool = False):
     q_idx = pl.program_id(2)
     n_q = pl.num_programs(2)
     kv_idx = pl.program_id(1)
@@ -426,11 +446,13 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     delta = delta_ref[0]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32)
+    if not log2_domain:
+        s = s * scale
     if kv_len % block_kv != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_kv
         s = jnp.where(col < kv_len, s, NEG_INF)
-    p = jnp.exp(s - lse)                   # (BQ, BKV)
+    p = (jnp.exp2 if log2_domain else jnp.exp)(s - lse)  # (BQ, BKV)
     # dv += P^T dO
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())),
@@ -438,10 +460,12 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - delta)
-    # dk += dS^T Q * scale
+    # dk += dS^T Q * scale; in log2 domain q is PRE-SCALED by
+    # scale*log2(e), so the factor reduces to ln(2):
+    # dS^T q_orig * scale = dS^T q2 * scale/(scale*log2e) = dS^T q2 * ln2
     dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        preferred_element_type=jnp.float32) * (_LN2 if log2_domain else scale)
 
     @pl.when(q_idx == n_q - 1)
     def _():
@@ -452,7 +476,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 def _flash_bwd_3d(q, k, v, o, lse, do, scale, block_q, block_kv):
     bh, s_len, d = q.shape
     kv_len = k.shape[1]
-    block_q, block_kv = _pick_blocks(s_len, kv_len, block_q, block_kv)
+    block_q, block_kv = _pick_blocks(s_len, kv_len, block_q, block_kv,
+                                     dtype=q.dtype)
+
+    log2 = LOG2_SOFTMAX and q.dtype != jnp.float32  # bf16-only (see fwd)
+    if log2:
+        # same base-2 trick as the forward: prescale q and convert the
+        # saved natural-log LSE, removing the per-element scale pass from
+        # BOTH backward kernels (p = exp2(s2 - lse2))
+        q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+        lse = lse * _LOG2E
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1, keepdims=True)  # (BH, S, 1)
@@ -474,7 +507,7 @@ def _flash_bwd_3d(q, k, v, o, lse, do, scale, block_q, block_kv):
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, kv_len=kv_len,
-                          block_kv=block_kv),
+                          block_kv=block_kv, log2_domain=log2),
         interpret=_interpret(),
         grid=(bh, s_pad // block_q, kv_pad // block_kv),
         in_specs=[q_spec, kv_spec, kv_spec, q_spec, q1_spec, q1_spec],
@@ -494,7 +527,7 @@ def _flash_bwd_3d(q, k, v, o, lse, do, scale, block_q, block_kv):
                             memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=kv_len,
-                          block_kv=block_kv),
+                          block_kv=block_kv, log2_domain=log2),
         interpret=_interpret(),
         grid=(bh, kv_pad // block_kv, s_pad // block_q),
         in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, q1_spec2, q1_spec2],
