@@ -192,3 +192,16 @@ def test_pipelined_gradients_match_reference():
     for gf, gr in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                    atol=5e-5, rtol=1e-3)
+
+
+def test_f32_vmem_cap_on_blocks():
+    # f32 tiles at (1024, 2048) measured 16.42M scoped vmem under jit
+    # fusion on the v5e (OOM at the 16M limit); _pick_blocks caps the
+    # score tile for f32 while bf16 keeps the swept-fast (1024, 2048)
+    bq, bkv = fa._pick_blocks(16384, 16384, 1024, 2048, dtype=jnp.float32)
+    assert (bq, bkv) == (1024, 1024)
+    bq, bkv = fa._pick_blocks(16384, 16384, 1024, 2048, dtype=jnp.bfloat16)
+    assert (bq, bkv) == (1024, 2048)
+    # short-KV rounding unaffected (block_q clamps to the 128 queries)
+    assert fa._pick_blocks(128, 577, 256, 512,
+                           dtype=jnp.float32) == (128, 640)
