@@ -77,13 +77,16 @@ _TUNED_BLOCKS = (
     # holds the same plateau with half the footprint.
     (0, 256, 512),
     (4096, 1024, 1024),
-    # round-5 log2-softmax sweep (benchmarks/records/attn_r5_log2.json,
-    # same-day A/B, long RTT-cancelling chains): 16384 tokens best at
-    # (1024, 2048) = 3.50 ms = 98.1 TF/s (vs the round-3/4 74 TF/s plateau
-    # at (1024, 1024) — docs/attention_roofline.md).  (2048, x) rows were
-    # 2-6% faster still but block_q 2048's ~17 MB tile footprint overflowed
-    # scoped vmem at batch >= 2 in round 3; not worth the risk.
-    (16384, 1024, 2048),
+    # round-5 log2-softmax sweep (benchmarks/records/attn_r5_{log2,9216}
+    # .json, same-day A/B, long RTT-cancelling chains): (1024, 2048) wins
+    # 16384 tokens at 3.50 ms = 98.1 TF/s (vs the round-3/4 74 TF/s
+    # plateau at (1024, 1024) — docs/attention_roofline.md) and 9216
+    # tokens at 91.2 TF/s (even with the padded+masked 10240 tail; 86.1
+    # at (1024, 1024)), while 4096 prefers (1024, 1024) (83.1 vs 78.5).
+    # (2048, x) rows were 2-6% faster still but block_q 2048's ~17 MB
+    # tile footprint overflowed scoped vmem at batch >= 2 in round 3;
+    # not worth the risk.
+    (9216, 1024, 2048),
 )
 
 # The backward kernels keep more operands resident per tile (q, k, v, o,
