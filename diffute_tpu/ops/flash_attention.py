@@ -92,9 +92,15 @@ _TUNED_BLOCKS = (
 # The backward kernels keep more operands resident per tile (q, k, v, o,
 # do, lse, two accumulators), so the forward winners overflow the 16 MB
 # scoped-vmem stack — (2048, 1024) at 4096 tokens was measured 19.8 MB at
-# compile. Keep the conservative r2-validated sizes for training.
+# compile.  Round-5 sweep with the base-2 softmax
+# (benchmarks/records/attn_r5_bwd_blocks.json, same-day, long chains):
+# grad 4096 tokens 0.694 -> 0.382 ms at (512, 512) (1.8x) and 16384
+# 11.97 -> 8.93 ms at (1024, 512) (1.3x); validated inside the full-size
+# 866M training step (train_bench).
 _TUNED_BLOCKS_BWD = (
     (0, 256, 512),
+    (4096, 512, 512),
+    (16384, 1024, 512),
 )
 
 
