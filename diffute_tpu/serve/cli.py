@@ -29,20 +29,30 @@ def main() -> None:
     p.add_argument("--out", default="edited.png")
     p.add_argument("--mask-out", default=None)
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--scale", default=None, choices=["full", "small", "tiny"],
+                   help="model topology (small = the on-chip convergence "
+                        "scale; its checkpoints load via --checkpoint)")
     p.add_argument("--tiny", action="store_true",
-                   help="tiny random model (smoke testing)")
+                   help="tiny random model (smoke testing; alias of "
+                        "--scale tiny)")
     args = p.parse_args()
 
     import jax
 
+    from diffute_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()  # DIFFUTE_PLATFORM=cpu runs off-chip
     jax.config.update("jax_default_prng_impl", "rbg")
     import dataclasses
 
-    from diffute_tpu.config import DiffUTEConfig, tiny_test_config
+    from diffute_tpu.config import (DiffUTEConfig, small_config,
+                                    tiny_test_config)
     from diffute_tpu.pipeline import DiffUTEPipeline
     from diffute_tpu.utils import init_pipeline_params
 
-    config = tiny_test_config() if args.tiny else DiffUTEConfig()
+    scale = args.scale or ("tiny" if args.tiny else "full")
+    config = {"full": DiffUTEConfig, "small": small_config,
+              "tiny": tiny_test_config}[scale]()
     config = dataclasses.replace(
         config, edit=dataclasses.replace(
             config.edit, sampler=args.sampler,

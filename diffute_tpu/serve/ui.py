@@ -105,7 +105,9 @@ def make_examples(directory: str, seed: int = 0) -> List[list]:
         image = np.full((h, w, 3), int(rng.integers(200, 250)), np.uint8)
         glyph = render_glyph(text, gcfg)
         gh, gw = glyph.shape[:2]
-        scale = min(1.0, (w * 0.4) / gw, (h * 0.2) / gh)
+        # size like SyntheticSceneDataset (io/dataset.py): strokes must stay
+        # >= ~32 px tall to survive the VAE round-trip
+        scale = min(1.0, (w * 0.7) / gw, (h * 0.25) / gh)
         gw2, gh2 = max(16, int(gw * scale)), max(16, int(gh * scale))
         x = int(rng.integers(10, w - gw2 - 10))
         y = int(rng.integers(10, h - gh2 - 10))
