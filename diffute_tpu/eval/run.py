@@ -72,6 +72,17 @@ def parse_args(argv=None):
                    help="override the config sampler — lets DPM-Solver++ "
                         "at few steps be QUALITY-ablated against 50-step "
                         "DDIM on the same checkpoint")
+    p.add_argument("--cross_text", action="store_true",
+                   help="edit each region to a DIFFERENT string than the "
+                        "one in the scene (the next word in the synthetic "
+                        "vocabulary) instead of regenerating the original. "
+                        "Regeneration matches the training objective (the "
+                        "reference trains by inpainting the original text, "
+                        "train_diffute_v1.py:457-519); cross-text is the "
+                        "deployment task (app.ipynb's text_editing writes "
+                        "arbitrary strings) and is strictly harder — it "
+                        "measures glyph-conditioned GENERATION, not "
+                        "reconstruction")
     return p.parse_args(argv)
 
 
@@ -314,8 +325,21 @@ def run_eval(args) -> dict:
     for i, (image, box, text) in enumerate(examples):
         if i >= args.max_examples:
             break
+        target = text
+        if args.cross_text:
+            # deterministic different-string target from the synthetic
+            # vocabulary: measures writing a NEW string into the region
+            # (the deployment task) rather than regenerating the original
+            # (the training objective)
+            from diffute_tpu.io.dataset import SyntheticSceneDataset
+
+            words = SyntheticSceneDataset._WORDS
+            base = words.index(text) if text in words else i
+            target = words[(base + 1 + i) % len(words)]
+            if target == text:
+                target = words[(base + 2 + i) % len(words)]
         edited, mask255, crop_info = pipe.edit(
-            image, box, text, num_inference_steps=args.steps,
+            image, box, target, num_inference_steps=args.steps,
             seed=args.seed, edit_config=edit_cfg, return_crop=True)
         row = _background_metrics(image, edited, mask255)
         row.update(_window_metrics(crop_info))
@@ -326,13 +350,15 @@ def run_eval(args) -> dict:
             decoded = verifier.read_text([region])[0]
             norm = lambda s: "".join(s.split()).lower()
             row["ocr_text"] = decoded
-            row["ocr_text_match"] = bool(norm(decoded) == norm(text))
+            row["ocr_text_match"] = bool(norm(decoded) == norm(target))
         # tokenizer-free fallback: compare against TrOCR's reading of the
         # target text's glyph render (no vocab files needed)
-        glyph = render_glyph(text, config.glyph)
+        glyph = render_glyph(target, config.glyph)
         ids_glyph = verifier.read([glyph])[0]
         row["ocr_id_match"] = _id_match(ids_region, ids_glyph, eos_id)
         row["text"] = text
+        if args.cross_text:
+            row["target_text"] = target
         row["box"] = list(map(int, box))
         rows.append(row)
 
@@ -344,6 +370,7 @@ def run_eval(args) -> dict:
         "steps": args.steps,
         "encoder_reuse_interval": args.reuse,
         "sampler": edit_cfg.sampler,
+        "cross_text": bool(args.cross_text),
         "ssim_background_mean": float(np.mean([r["ssim_background"]
                                                for r in rows])),
         "psnr_background_mean": float(np.mean([r["psnr_background"]

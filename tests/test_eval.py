@@ -109,3 +109,18 @@ def test_eval_cli_tiny_synthetic(tmp_path):
                             "ssim_window_background", "psnr_window_background",
                             "region_mean_abs_delta", "ocr_id_match",
                             "text", "box"}
+
+
+def test_eval_cli_cross_text(tmp_path):
+    """--cross_text edits each region to a DIFFERENT vocabulary word than
+    the scene's (the deployment task, strictly harder than regeneration):
+    every row's target differs from its original text, and OCR compares
+    against the target."""
+    from diffute_tpu.eval.run import main
+
+    report = main(["--tiny", "--synthetic", "3", "--steps", "2",
+                   "--max_examples", "3", "--cross_text",
+                   "--out", str(tmp_path / "r.json")])
+    assert report["cross_text"] is True
+    for row in report["examples"]:
+        assert row["target_text"] != row["text"]
