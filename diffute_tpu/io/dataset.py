@@ -148,11 +148,38 @@ class SyntheticSceneDataset:
     # readable ("hello world" at 11 chars capped out at ~29 px)
     _WORDS = ("INVOICE", "TOTAL", "2023-08-16", "Amount", "Reference",
               "DiffUTE", "TPU", "hello", "42.00", "Document")
+    # random-string charset for the diverse-vocabulary modes; printable
+    # ASCII only so the char tokenizer / OCR verifier covers every target
+    _CHARSET = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                "abcdefghijklmnopqrstuvwxyz0123456789.-")
 
-    def __init__(self, config: DiffUTEConfig, image_hw=(384, 512), seed: int = 0):
+    def __init__(self, config: DiffUTEConfig, image_hw=(384, 512),
+                 seed: int = 0, vocab: str = "fixed"):
+        """``vocab``: "fixed" = the 10-word list (the original stream,
+        bit-identical per index); "random" = every example a fresh 3-10 char
+        string; "mixed" = 50/50.  A fixed tiny vocabulary trains a model
+        that REGENERATES its words perfectly but cannot write novel strings
+        (measured: eval --cross_text 0.625 vs regeneration 1.0 on the 36k
+        fixed-vocab checkpoint, BASELINE.md); diverse strings train the
+        glyph-conditioned generation the deployment task needs — the role
+        the reference's million-scene OCR corpora play
+        (train_diffute_v1.py:399-519)."""
+        if vocab not in ("fixed", "mixed", "random"):
+            raise ValueError(f"vocab must be fixed|mixed|random, got {vocab!r}")
         self.config = config
         self.image_hw = image_hw
         self.seed = seed  # examples are deterministic per index
+        self.vocab = vocab
+
+    def _sample_text(self, rng) -> str:
+        # extra rng draws are gated so the "fixed" stream stays bit-identical
+        # to the pre-vocab-option dataset
+        if self.vocab != "fixed" and (self.vocab == "random"
+                                      or rng.random() < 0.5):
+            n = int(rng.integers(3, 11))
+            idx = rng.integers(len(self._CHARSET), size=n)
+            return "".join(self._CHARSET[int(c)] for c in idx)
+        return self._WORDS[int(rng.integers(len(self._WORDS)))]
 
     def __len__(self) -> int:
         return 1 << 30
@@ -163,7 +190,7 @@ class SyntheticSceneDataset:
         rng = np.random.default_rng(index)
         image = np.full((h, w, 3), int(rng.integers(180, 255)), np.uint8)
         # paste a rendered word at a random position
-        text = self._WORDS[int(rng.integers(len(self._WORDS)))]
+        text = self._sample_text(rng)
         glyph = render_glyph(text, cfg.glyph)
         gh, gw = glyph.shape[:2]
         # Size the text like the documents the reference trains on: tall

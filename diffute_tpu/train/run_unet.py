@@ -64,6 +64,13 @@ def parse_args():
                         "dispatch; state stays on device between steps)")
     p.add_argument("--smoke", action="store_true",
                    help="tiny config + synthetic data, 2 steps")
+    p.add_argument("--synthetic_vocab", default="fixed",
+                   choices=["fixed", "mixed", "random"],
+                   help="synthetic-dataset text vocabulary: fixed 10-word "
+                        "list / random 3-10 char strings / 50-50 mixed — "
+                        "diverse strings train glyph-conditioned generation "
+                        "of NOVEL text (the eval --cross_text task) instead "
+                        "of regeneration only (io/dataset.py)")
     p.add_argument("--model_scale", default="full",
                    choices=["full", "small"],
                    help="full = SD2-inpaint topology; small = reduced-width "
@@ -149,7 +156,8 @@ def main():
     if args.manifest:
         dataset = UNetManifestDataset(args.manifest, config, seed=args.seed)
     else:
-        dataset = SyntheticSceneDataset(config, seed=args.seed)
+        dataset = SyntheticSceneDataset(config, seed=args.seed,
+                                        vocab=args.synthetic_vocab)
     accum = args.gradient_accumulation_steps
 
     # Reference semantics (train_diffute_v1.py:855-860): max_train_steps

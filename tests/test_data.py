@@ -116,6 +116,35 @@ def test_synthetic_dataset(cfg):
     np.testing.assert_array_equal(ex["pixel_values"], ex2["pixel_values"])
 
 
+def test_synthetic_vocab_modes(cfg):
+    """The diverse-vocabulary modes: "fixed" stays bit-identical to the
+    original stream (no extra rng draws), "random"/"mixed" produce novel
+    strings drawn from the printable charset, deterministic per index."""
+    fixed = SyntheticSceneDataset(cfg)
+    fixed2 = SyntheticSceneDataset(cfg, vocab="fixed")
+    for i in (0, 7, 42):
+        np.testing.assert_array_equal(fixed[i]["pixel_values"],
+                                      fixed2[i]["pixel_values"])
+
+    rnd = SyntheticSceneDataset(cfg, vocab="random")
+    charset = set(SyntheticSceneDataset._CHARSET)
+    words = set(SyntheticSceneDataset._WORDS)
+    texts = [rnd._sample_text(np.random.default_rng(i)) for i in range(64)]
+    assert all(3 <= len(t) <= 10 and set(t) <= charset for t in texts)
+    assert sum(t not in words for t in texts) >= 50  # overwhelmingly novel
+    # deterministic per index (same contract as the images)
+    ex = rnd[3]
+    np.testing.assert_array_equal(ex["pixel_values"], rnd[3]["pixel_values"])
+
+    mixed = SyntheticSceneDataset(cfg, vocab="mixed")
+    texts = [mixed._sample_text(np.random.default_rng(i)) for i in range(64)]
+    n_vocab = sum(t in words for t in texts)
+    assert 10 <= n_vocab <= 54  # both populations present
+
+    with pytest.raises(ValueError):
+        SyntheticSceneDataset(cfg, vocab="huge")
+
+
 def test_prefetch_loader(cfg):
     ds = SyntheticSceneDataset(cfg)
     loader = PrefetchLoader(ds, batch_size=2,
