@@ -83,6 +83,15 @@ def parse_args(argv=None):
                         "arbitrary strings) and is strictly harder — it "
                         "measures glyph-conditioned GENERATION, not "
                         "reconstruction")
+    p.add_argument("--cross_text_novel", action="store_true",
+                   help="like --cross_text but the target is a NOVEL "
+                        "random 3-10 char string (SyntheticSceneDataset "
+                        "charset, deterministic per example) that no "
+                        "checkpoint has ever seen — the out-of-vocabulary "
+                        "probe for the diverse-vocab fine-tune. Scored by "
+                        "ocr_id_match (verifier reads the edited region vs "
+                        "the target's glyph render, so verifier vocabulary "
+                        "bias cancels) alongside the exact-text metric")
     return p.parse_args(argv)
 
 
@@ -326,7 +335,22 @@ def run_eval(args) -> dict:
         if i >= args.max_examples:
             break
         target = text
-        if args.cross_text:
+        if args.cross_text_novel:
+            # deterministic NOVEL string: same charset/length distribution
+            # as the diverse training stream but a disjoint rng stream, so
+            # no checkpoint (fixed- or mixed-vocab) has seen the literal
+            # string — the out-of-vocabulary generation probe
+            from diffute_tpu.io.dataset import SyntheticSceneDataset
+
+            rng = np.random.default_rng((args.seed, 7777, i))
+            charset = SyntheticSceneDataset._CHARSET
+            while True:
+                n = int(rng.integers(3, 11))
+                idx = rng.integers(len(charset), size=n)
+                target = "".join(charset[int(c)] for c in idx)
+                if target != text:
+                    break
+        elif args.cross_text:
             # deterministic different-string target from the synthetic
             # vocabulary: measures writing a NEW string into the region
             # (the deployment task) rather than regenerating the original
@@ -357,7 +381,7 @@ def run_eval(args) -> dict:
         ids_glyph = verifier.read([glyph])[0]
         row["ocr_id_match"] = _id_match(ids_region, ids_glyph, eos_id)
         row["text"] = text
-        if args.cross_text:
+        if args.cross_text or args.cross_text_novel:
             row["target_text"] = target
         row["box"] = list(map(int, box))
         rows.append(row)
@@ -370,7 +394,9 @@ def run_eval(args) -> dict:
         "steps": args.steps,
         "encoder_reuse_interval": args.reuse,
         "sampler": edit_cfg.sampler,
-        "cross_text": bool(args.cross_text),
+        "cross_text": bool(args.cross_text or args.cross_text_novel),
+        "cross_text_mode": ("novel" if args.cross_text_novel
+                            else "vocab" if args.cross_text else None),
         "ssim_background_mean": float(np.mean([r["ssim_background"]
                                                for r in rows])),
         "psnr_background_mean": float(np.mean([r["psnr_background"]

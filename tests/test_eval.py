@@ -122,5 +122,31 @@ def test_eval_cli_cross_text(tmp_path):
                    "--max_examples", "3", "--cross_text",
                    "--out", str(tmp_path / "r.json")])
     assert report["cross_text"] is True
+    assert report["cross_text_mode"] == "vocab"
     for row in report["examples"]:
         assert row["target_text"] != row["text"]
+
+
+def test_eval_cli_cross_text_novel(tmp_path):
+    """--cross_text_novel targets a deterministic random string from the
+    training charset that no checkpoint has seen (the out-of-vocabulary
+    probe): targets differ from the scene text, are NOT vocabulary words,
+    and are identical across invocations (seeded per example)."""
+    from diffute_tpu.eval.run import main
+    from diffute_tpu.io.dataset import SyntheticSceneDataset
+
+    args = ["--tiny", "--synthetic", "3", "--steps", "2",
+            "--max_examples", "3", "--cross_text_novel",
+            "--out", str(tmp_path / "r.json")]
+    report = main(args)
+    assert report["cross_text"] is True
+    assert report["cross_text_mode"] == "novel"
+    targets = [row["target_text"] for row in report["examples"]]
+    for row in report["examples"]:
+        assert row["target_text"] != row["text"]
+        assert row["target_text"] not in SyntheticSceneDataset._WORDS
+        assert 3 <= len(row["target_text"]) <= 10
+        assert set(row["target_text"]) <= set(SyntheticSceneDataset._CHARSET)
+    # deterministic: a second run produces the same targets
+    report2 = main(args)
+    assert [r["target_text"] for r in report2["examples"]] == targets
